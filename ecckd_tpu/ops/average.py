@@ -1,0 +1,299 @@
+"""Spectral averaging: candidate-interval fits and g-point LUT averaging.
+
+Two families, both expressed as parallel segment reductions:
+
+* Interval fits used during g-point search — TPU equivalents of
+  ``fit_optical_depth_lw/sw/sw_total_trans`` (find_g_points.cpp:54-204).
+  Operate on rank-contiguous intervals via prefix sums, batched over all
+  candidate intervals at once.
+
+* G-point LUT averaging used by create_look_up_table — TPU equivalent of
+  ``average_optical_depth_to_g_point`` (average_optical_depth.cpp:21-197),
+  with the OpenMP-over-g loop (P2) replaced by one-hot matmul segment
+  reductions on the MXU.
+
+Reference quirks reproduced deliberately (documented in SURVEY.md §7):
+* the 0.9999999999999999 transmission clamp (average_optical_depth.cpp:48);
+* LW logarithmic fit weights: numerator Planck at the layer *base*
+  (planck_hl[iz+1]), denominator at the layer *top* (planck_hl[iz])
+  (find_g_points.cpp:85-99);
+* the SW transmission clamp applied before normalization
+  (find_g_points.cpp:125-133);
+* ``abs(-log(1-x))`` to strip the sign of a negative zero
+  (average_optical_depth.cpp:168).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (LW_DIFFUSIVITY, ACCEL_GRAVITY, MOLAR_MASS_DRY_AIR)
+from .segments import interval_sum
+
+_TRANS_CLAMP = 0.9999999999999999
+
+# Scale factor of the transmission applied per method name
+_METHOD_SCALE = {
+    "transmission": 1.0,
+    "transmission-2": 2.0,
+    "transmission-3": 3.0,
+    "transmission-10": 10.0,
+}
+
+
+def fit_optical_depth_lw(averaging_method, planck_hl, metric, i1, i2):
+    """Fitted (grey) od per layer for each rank interval, LW weighting.
+
+    Args:
+      averaging_method: one of linear/transmission/transmission-2/square-root/
+        logarithmic.
+      planck_hl: (nlev+1, nwav) Planck function (rank-ordered wavenumbers).
+      metric: (nlay, nwav) sorting metric (od, 1-exp(-D od), or sqrt(od)
+        depending on method; built by the caller as in find_g_points.cpp:1119).
+      i1, i2: (nseg,) inclusive interval bounds in rank space.
+
+    Returns:
+      (nlay, nseg) fitted optical depth per layer and interval.
+    """
+    w_num = planck_hl[1:]   # weights at layer base (ref :61-63)
+    if averaging_method == "linear":
+        return (interval_sum(metric * w_num, i1, i2)
+                / interval_sum(w_num, i1, i2))
+    if averaging_method in ("transmission", "transmission-2"):
+        scale = _METHOD_SCALE[averaging_method]
+        mean = jnp.minimum(
+            _TRANS_CLAMP,
+            interval_sum(metric * w_num, i1, i2) / interval_sum(w_num, i1, i2))
+        return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+    if averaging_method == "square-root":
+        fit = (interval_sum(metric * w_num, i1, i2)
+               / interval_sum(w_num, i1, i2))
+        return fit * fit
+    if averaging_method == "logarithmic":
+        return _log_fit(metric, w_num, planck_hl[:-1], i1, i2)
+    raise ValueError(f"Averaging method {averaging_method!r} not understood")
+
+
+def fit_optical_depth_sw(averaging_method, ssi, metric, i1, i2):
+    """Fitted od per layer for each interval, SW (solar-irradiance) weighting.
+
+    Ref fit_optical_depth_sw (find_g_points.cpp:113-168).
+    """
+    wsum = interval_sum(jnp.broadcast_to(ssi, metric.shape[-1:]), i1, i2)
+    norm = 1.0 / wsum
+    if averaging_method == "linear":
+        return interval_sum(metric * ssi, i1, i2) * norm
+    if averaging_method in ("transmission", "transmission-2"):
+        scale = _METHOD_SCALE[averaging_method]
+        # NOTE: clamp applied before normalization, as in the reference
+        mean = jnp.minimum(_TRANS_CLAMP,
+                           interval_sum(metric * ssi, i1, i2)) * norm
+        return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+    if averaging_method == "square-root":
+        fit = interval_sum(metric * ssi, i1, i2) * norm
+        return fit * fit
+    if averaging_method in ("logarithmic", "total-transmission"):
+        ssi2d = jnp.broadcast_to(ssi, metric.shape)
+        return _log_fit(metric, ssi2d, ssi2d, i1, i2)
+    raise ValueError(f"Averaging method {averaging_method!r} not understood")
+
+
+def _log_fit(metric, w_num, w_den, i1, i2):
+    """Logarithmic average handling zeros (ref find_g_points.cpp:80-110).
+
+    Pure log-average over nonzero entries, scaled by the nonzero fraction
+    when some entries are zero; zero when all are zero.
+    """
+    nonzero = metric > 0.0
+    log_m = jnp.where(nonzero, jnp.log(jnp.where(nonzero, metric, 1.0)), 0.0)
+    sum_log = interval_sum(log_m * w_num * nonzero, i1, i2)
+    sum_w_num_nz = interval_sum(w_num * nonzero, i1, i2)
+    sum_w_den_nz = interval_sum(jnp.broadcast_to(w_den, metric.shape)
+                                * nonzero, i1, i2)
+    count_nz = interval_sum(nonzero.astype(metric.dtype), i1, i2)
+    count_all = (i2 - i1 + 1).astype(metric.dtype)
+
+    all_nonzero = count_nz >= count_all
+    none_nonzero = count_nz <= 0.0
+    # Pure case denominator uses w_den over *nonzero* columns because when all
+    # are nonzero iindex == index (ref :86-87 uses planck_hl(iz,iindex)).
+    denom = jnp.where(none_nonzero, 1.0, sum_w_den_nz)
+    fit = jnp.exp(sum_log / denom)
+    frac = count_nz / count_all
+    fit = jnp.where(all_nonzero, fit, fit * frac)
+    return jnp.where(none_nonzero, 0.0, fit)
+
+
+def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
+    """Total-transmission fit (ref find_g_points.cpp:173-204).
+
+    The per-layer fitted od is derived from broadband direct-flux ratios at
+    secant 2 with/without the target gas; falls back to the linear SSI
+    average for the entire profile if the broadband flux underflows to zero
+    at any layer (replicating the reference's whole-vector overwrite).
+
+    Returns (nlay, nseg).
+    """
+    sec = 2.0
+
+    def step(carry, xs):
+        bg_flux, flux = carry
+        bg_od_lay, od_lay = xs
+        bg_flux = bg_flux * jnp.exp(-sec * bg_od_lay)
+        flux = flux * jnp.exp(-sec * (bg_od_lay + od_lay))
+        return (bg_flux, flux), (interval_sum(bg_flux, i1, i2),
+                                 interval_sum(flux, i1, i2))
+
+    ssi_b = jnp.broadcast_to(ssi, od.shape[-1:])
+    top = interval_sum(ssi_b, i1, i2)
+    _, (bb_bg, bb) = jax.lax.scan(step, (ssi_b, ssi_b), (bg_od, od))
+    bb_bg_above = jnp.concatenate([top[None], bb_bg[:-1]], axis=0)
+    bb_above = jnp.concatenate([top[None], bb[:-1]], axis=0)
+
+    ok = (bb_bg > 0.0) & (bb > 0.0)
+    safe_bg = jnp.where(ok, bb_bg, 1.0)
+    safe = jnp.where(ok, bb, 1.0)
+    bg_fit = -0.5 * jnp.log(safe_bg / jnp.maximum(bb_bg_above, 1e-300))
+    fit = -0.5 * jnp.log(safe / jnp.maximum(bb_above, 1e-300)) - bg_fit
+
+    linear = interval_sum(od * ssi_b, i1, i2) / top
+    any_bad = jnp.any(~ok, axis=0)          # (nseg,)
+    return jnp.where(any_bad[None, :], linear, fit)
+
+
+# ---------------------------------------------------------------------------
+# G-point LUT averaging (create_look_up_table)
+# ---------------------------------------------------------------------------
+
+def average_od_to_gpoints(ng, g_point, optical_depth, weight,
+                          averaging_method, pressure_fl=None):
+    """Average spectral od into g-points (nz, ng) by the requested method.
+
+    TPU equivalent of average_optical_depth_to_g_point
+    (average_optical_depth.cpp:21-197) minus the molar-abs conversion (see
+    :func:`od_to_molar_abs`).  The per-g OpenMP loop becomes one-hot matmul
+    segment reductions on the MXU; g-point membership may be arbitrary
+    (non-contiguous in wavenumber space).
+
+    Args:
+      ng: static number of g-points.
+      g_point: (nwav,) int map wavenumber -> g-point (<0 = unassigned).
+      optical_depth: (nz, nwav).
+      weight: (nz, nwav) Planck weights (LW) or broadcastable SSI (SW).
+      averaging_method: linear/transmission[-2,-3,-10]/square-root/
+        logarithmic/hybrid-logarithmic-transmission-3.
+      pressure_fl: (nz,) full-level pressure, required for the hybrid method.
+
+    Returns:
+      (od_fit, min_od, max_od), each (nz, ng).
+    """
+    od = jnp.asarray(optical_depth)
+    nz, nwav = od.shape
+    w = jnp.broadcast_to(jnp.asarray(weight), od.shape)
+    gp = jnp.asarray(g_point)
+
+    # Segment sums as chunked one-hot matmuls on the MXU: the one-hot
+    # membership block is materialized only per chunk (chunk x ng), so memory
+    # stays bounded for multi-million-point spectra.
+    chunk = min(nwav, 65536)
+    nchunk = -(-nwav // chunk)
+    pad = nchunk * chunk - nwav
+    gp_p = jnp.pad(gp, (0, pad), constant_values=-1).reshape(nchunk, chunk)
+    g_range = jnp.arange(ng)
+
+    def seg_sum(v):
+        v_p = jnp.pad(v, ((0, 0), (0, pad))).reshape(nz, nchunk, chunk)
+
+        def body(carry, xs):
+            v_c, gp_c = xs
+            onehot = (gp_c[:, None] == g_range[None, :]).astype(od.dtype)
+            return carry + jnp.matmul(v_c, onehot,
+                                      preferred_element_type=od.dtype), None
+
+        init = jnp.zeros((nz, ng), od.dtype)
+        out, _ = jax.lax.scan(body, init,
+                              (jnp.moveaxis(v_p, 1, 0), gp_p))
+        return out
+
+    w_sum = seg_sum(w)
+    safe_w_sum = jnp.where(w_sum > 0.0, w_sum, 1.0)
+
+    def mean_of(v):
+        return seg_sum(v * w) / safe_w_sum
+
+    def trans_fit(scale):
+        mean = jnp.minimum(
+            _TRANS_CLAMP, mean_of(-jnp.expm1(-od * (LW_DIFFUSIVITY * scale))))
+        return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+
+    def log_fit():
+        nonzero = od > 0.0
+        log_od = jnp.where(nonzero, jnp.log(jnp.where(nonzero, od, 1.0)), 0.0)
+        sum_log = seg_sum(log_od * w * nonzero)
+        sum_w_nz = seg_sum(w * nonzero)
+        count_nz = seg_sum(nonzero.astype(od.dtype))
+        count_all = seg_sum(jnp.ones_like(od))
+        all_nz = count_nz >= count_all
+        none_nz = count_nz <= 0.0
+        denom = jnp.where(none_nz, 1.0, jnp.where(all_nz, safe_w_sum, sum_w_nz))
+        fit = jnp.exp(sum_log / denom)
+        fit = jnp.where(all_nz, fit, fit * count_nz / jnp.maximum(count_all, 1.0))
+        return jnp.where(none_nz, 0.0, fit)
+
+    if averaging_method == "linear":
+        fit = mean_of(od)
+    elif averaging_method in _METHOD_SCALE:
+        fit = trans_fit(_METHOD_SCALE[averaging_method])
+    elif averaging_method == "square-root":
+        fit = mean_of(jnp.sqrt(od))
+        fit = fit * fit
+    elif averaging_method == "logarithmic":
+        fit = log_fit()
+    elif averaging_method == "hybrid-logarithmic-transmission-3":
+        if pressure_fl is None:
+            raise ValueError("hybrid method requires pressure_fl")
+        use_log = (jnp.asarray(pressure_fl) > 100.0e2)[:, None]
+        fit = jnp.where(use_log, log_fit(), trans_fit(3.0))
+    else:
+        raise ValueError(f"averaging_method {averaging_method!r} not understood")
+
+    # Per-(layer, g) min/max od over member wavenumbers: flattened segment
+    # reductions, O(nz*nwav) memory
+    valid = gp >= 0
+    seg_ids = jnp.where(valid, gp, ng)[None, :] + ng * jnp.arange(nz)[:, None]
+    seg_ids = jnp.where(valid[None, :], seg_ids, nz * ng).ravel()
+    nseg_total = nz * ng + 1
+    min_od = jax.ops.segment_min(od.ravel(), seg_ids,
+                                 num_segments=nseg_total)[:-1].reshape(nz, ng)
+    max_od = jax.ops.segment_max(od.ravel(), seg_ids,
+                                 num_segments=nseg_total)[:-1].reshape(nz, ng)
+    count = seg_sum(jnp.ones_like(od))
+    empty = count[0] <= 0.0                                 # (ng,)
+    min_od = jnp.where(empty[None, :] | ~jnp.isfinite(min_od), 0.0, min_od)
+    max_od = jnp.where(empty[None, :] | ~jnp.isfinite(max_od), 0.0, max_od)
+    fit = jnp.where(empty[None, :], 0.0, fit)
+
+    # Clamp fit into [min, max]; widen degenerate bounds
+    # (ref average_optical_depth.cpp:139-163)
+    fit = jnp.maximum(min_od, jnp.minimum(fit, max_od))
+    degenerate = (min_od > 0.0) & (min_od >= max_od)
+    min_od = jnp.where(degenerate, min_od * 0.99, min_od)
+    max_od = jnp.where(degenerate, max_od * 1.01, max_od)
+    return fit, min_od, max_od
+
+
+def od_to_molar_abs(od_fit, pressure_hl, reference_surface_vmr):
+    """Convert per-layer od to molar absorption coefficient (m2 mol-1).
+
+    Ref average_optical_depth.cpp:168-187: k = (g * 0.001 * M_air / vmr) *
+    od / dp.  With reference_surface_vmr <= 0, returns od unchanged (mean od
+    mode).
+    """
+    if reference_surface_vmr is None or reference_surface_vmr <= 0.0:
+        return od_fit
+    dp = (pressure_hl[1:] - pressure_hl[:-1])[:, None]
+    return ((ACCEL_GRAVITY * 0.001 * MOLAR_MASS_DRY_AIR)
+            / reference_surface_vmr) * od_fit / dp

@@ -1,0 +1,257 @@
+"""Batched candidate-interval cost kernels for g-point search.
+
+TPU-native replacement for ``CkdEquipartition::calc_error``
+(find_g_points.cpp:206-426): one jitted kernel evaluates the heating-rate/
+flux cost of MANY candidate rank intervals at once.  Per sweep the work is
+O(nwav x nlay) regardless of the number of intervals — the per-wavenumber
+flux recurrence is computed once, with each wavenumber carrying the grey
+fitted od of its own interval, and prefix-sum interval reductions extracting
+per-candidate broadband fluxes (see ops.rt_lw.rt_lw_bb_intervals).
+
+This replaces OpenMP parallelism P1 (equipartition.h:100-104) with data
+parallelism over the wavenumber axis, the framework's scaling dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import HR_WEIGHT
+from ..ops.average import (fit_optical_depth_lw, fit_optical_depth_sw,
+                           fit_optical_depth_sw_total_trans)
+from ..ops.heating_rate import heating_rate
+from ..ops.rt_lw import rt_lw_bb_intervals
+from ..ops.rt_sw import rt_sw_bb_intervals
+from ..ops.segments import interval_sum
+from .equipartition import Equipartition
+
+
+def _pad_to_bucket(n: int) -> int:
+    """Pad the candidate count to a small set of sizes to bound the number
+    of XLA compilations (1, 2, 4, 8, ...)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def _candidate_cost_from_fluxes(pressure_hl, layer_weight, flux_weight,
+                                flux_dn, flux_up, hr_true,
+                                fd_surf_true, fu_toa_true):
+    """Scalar candidate cost per interval from broadband flux profiles.
+
+    Ref calc_cost_function_lw.cpp:104-110 / calc_cost_function_sw.cpp:110-115:
+    sqrt of layer-weighted squared heating-rate error (in K/day) plus
+    flux-weighted squared boundary-flux errors.
+    """
+    hr_fit = heating_rate(pressure_hl, flux_dn, flux_up)
+    hr_err = hr_fit - hr_true
+    dn_err = flux_dn[-1] - fd_surf_true
+    up_err = flux_up[0] - fu_toa_true
+    return jnp.sqrt(
+        HR_WEIGHT * HR_WEIGHT
+        * jnp.sum(layer_weight[:, None] * hr_err * hr_err, axis=0)
+        + flux_weight * (dn_err * dn_err + up_err * up_err))
+
+
+class CandidateCostLw:
+    """LW candidate cost over a band of rank-ordered wavenumbers.
+
+    Arrays are bound once (device-resident); :meth:`costs` evaluates a batch
+    of intervals.  Mirrors CkdEquipartition::init_lw
+    (find_g_points.cpp:209-238).
+    """
+
+    def __init__(self, averaging_method: str, flux_weight: float,
+                 layer_weight, pressure_hl, surf_emissivity, surf_planck,
+                 flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr):
+        self.averaging_method = averaging_method
+        self.flux_weight = float(flux_weight)
+        self.layer_weight = jnp.asarray(layer_weight)
+        self.pressure_hl = jnp.asarray(pressure_hl)
+        self.surf_emissivity = jnp.asarray(surf_emissivity)
+        self.surf_planck = jnp.asarray(surf_planck)
+        self.flux_dn_surf = jnp.asarray(flux_dn_surf)
+        self.flux_up_toa = jnp.asarray(flux_up_toa)
+        self.planck_hl = jnp.asarray(planck_hl)
+        self.bg_od = jnp.asarray(bg_od)
+        self.metric = jnp.asarray(metric)
+        self.hr = jnp.asarray(hr)
+        self.npoints = int(self.metric.shape[1])
+        self._jitted: Dict[int, object] = {}
+
+    def _kernel(self, i1, i2, seg_of_wav):
+        od_fit = fit_optical_depth_lw(self.averaging_method, self.planck_hl,
+                                      self.metric, i1, i2)
+        grey = jnp.take(od_fit, seg_of_wav, axis=1)
+        flux_dn, flux_up = rt_lw_bb_intervals(
+            self.planck_hl, self.bg_od, grey,
+            self.surf_emissivity, self.surf_planck, i1, i2)
+        hr_true = interval_sum(self.hr, i1, i2)
+        fd_surf_true = interval_sum(self.flux_dn_surf, i1, i2)
+        fu_toa_true = interval_sum(self.flux_up_toa, i1, i2)
+        return _candidate_cost_from_fluxes(
+            self.pressure_hl, self.layer_weight, self.flux_weight,
+            flux_dn, flux_up, hr_true, fd_surf_true, fu_toa_true)
+
+    def costs(self, i1: np.ndarray, i2: np.ndarray,
+              seg_of_wav: np.ndarray) -> np.ndarray:
+        n = len(i1)
+        nb = _pad_to_bucket(n)
+        if nb not in self._jitted:
+            self._jitted[nb] = jax.jit(self._kernel)
+        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
+        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
+        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
+        out = self._jitted[nb](jnp.asarray(i1p), jnp.asarray(i2p),
+                               jnp.asarray(seg))
+        return np.asarray(out)[:n].astype(np.float64)
+
+
+class CandidateCostSw:
+    """SW candidate cost (ref CkdEquipartition::init_sw / init_sw_extras,
+    find_g_points.cpp:240-296), including the total-transmission method that
+    averages the cost of low- and high-scaled optical depths
+    (find_g_points.cpp:340-394)."""
+
+    def __init__(self, averaging_method: str, flux_weight: float,
+                 layer_weight, cos_sza, pressure_hl, ssi, surf_albedo,
+                 flux_dn_surf, flux_up_toa, bg_od, metric, hr,
+                 extras: Optional[dict] = None):
+        self.averaging_method = averaging_method
+        self.flux_weight = float(flux_weight)
+        self.layer_weight = jnp.asarray(layer_weight)
+        self.cos_sza = float(cos_sza)
+        self.pressure_hl = jnp.asarray(pressure_hl)
+        self.ssi = jnp.asarray(ssi)
+        self.surf_albedo = float(surf_albedo)
+        self.flux_dn_surf = jnp.asarray(flux_dn_surf)
+        self.flux_up_toa = jnp.asarray(flux_up_toa)
+        self.bg_od = jnp.asarray(bg_od)
+        self.metric = jnp.asarray(metric)
+        self.hr = jnp.asarray(hr)
+        self.npoints = int(self.metric.shape[1])
+        self.extras = None
+        if extras is not None:
+            self.extras = {k: (jnp.asarray(v) if not np.isscalar(v) else
+                               float(v)) for k, v in extras.items()}
+        self._jitted: Dict[int, object] = {}
+
+    def _cost_with(self, od_fit, seg_of_wav, i1, i2,
+                   flux_dn_surf, flux_up_toa, hr):
+        grey = jnp.take(od_fit, seg_of_wav, axis=1)
+        with_up = self.surf_albedo > 0.0
+        flux_dn, flux_up = rt_sw_bb_intervals(
+            self.cos_sza, self.ssi, self.bg_od, grey,
+            self.surf_albedo, i1, i2, with_upwelling=with_up)
+        hr_true = interval_sum(hr, i1, i2)
+        fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
+        fu_toa_true = interval_sum(flux_up_toa, i1, i2)
+        # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
+        hr_fit = heating_rate(self.pressure_hl, flux_dn)
+        hr_err = hr_fit - hr_true
+        dn_err = flux_dn[-1] - fd_surf_true
+        up_err = flux_up[0] - fu_toa_true
+        return jnp.sqrt(
+            HR_WEIGHT * HR_WEIGHT
+            * jnp.sum(self.layer_weight[:, None] * hr_err * hr_err, axis=0)
+            + self.flux_weight * (dn_err * dn_err + up_err * up_err))
+
+    def _kernel(self, i1, i2, seg_of_wav):
+        if self.averaging_method == "total-transmission":
+            ex = self.extras
+            od_fit = fit_optical_depth_sw_total_trans(
+                self.ssi, self.bg_od, self.metric, i1, i2)
+            cf_low = self._cost_with(
+                od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
+                ex["flux_dn_surf_low"], ex["flux_up_toa_low"], ex["hr_low"])
+            cf_high = self._cost_with(
+                od_fit * ex["max_scaling"], seg_of_wav, i1, i2,
+                ex["flux_dn_surf_high"], ex["flux_up_toa_high"],
+                ex["hr_high"])
+            return 0.5 * (cf_low + cf_high)
+        od_fit = fit_optical_depth_sw(self.averaging_method, self.ssi,
+                                      self.metric, i1, i2)
+        return self._cost_with(od_fit, seg_of_wav, i1, i2,
+                               self.flux_dn_surf, self.flux_up_toa, self.hr)
+
+    def costs(self, i1: np.ndarray, i2: np.ndarray,
+              seg_of_wav: np.ndarray) -> np.ndarray:
+        n = len(i1)
+        nb = _pad_to_bucket(n)
+        if nb not in self._jitted:
+            self._jitted[nb] = jax.jit(self._kernel)
+        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
+        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
+        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
+        out = self._jitted[nb](jnp.asarray(i1p), jnp.asarray(i2p),
+                               jnp.asarray(seg))
+        return np.asarray(out)[:n].astype(np.float64)
+
+
+class CkdEquipartition(Equipartition):
+    """Equipartition driver bound to a candidate-cost kernel.
+
+    Index mapping follows the reference exactly: a bound b in [0, 1] maps to
+    lower index ceil(b*(n-1)) / upper index floor(b*(n-1))
+    (find_g_points.cpp:282-287).
+    """
+
+    def __init__(self, kernel):
+        super().__init__()
+        self.kernel = kernel
+        self.npoints = kernel.npoints
+        self.total_comp_cost = 0.0
+        self.set_resolution(1.0 / self.npoints)
+
+    def lower_index(self, bound: float) -> int:
+        return int(np.ceil(bound * (self.npoints - 1)))
+
+    def upper_index(self, bound: float) -> int:
+        return int(np.floor(bound * (self.npoints - 1)))
+
+    def _indices(self, pairs: Sequence[Tuple[float, float]]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        i1 = np.empty(len(pairs), np.int32)
+        i2 = np.empty(len(pairs), np.int32)
+        for k, (b1, b2) in enumerate(pairs):
+            if b2 < b1:
+                raise ValueError(f"Bounds out of order: {b1}-{b2}")
+            j1 = self.lower_index(b1)
+            j2 = self.upper_index(b2)
+            if j1 < 0 or j2 >= self.npoints:
+                raise ValueError(
+                    f"Bounds {b1}-{b2} -> indices {j1}-{j2} outside 0-"
+                    f"{self.npoints - 1}")
+            if j2 < j1:
+                j2 = j1   # bounds extremely close (ref :312-315)
+            i1[k], i2[k] = j1, j2
+            self.total_comp_cost += b2 - b1
+        return i1, i2
+
+    def _seg_of_wav(self, i1: np.ndarray) -> np.ndarray:
+        """Map each rank to the interval whose fit od it carries.
+
+        For a partition sweep this assigns rank r to the last interval with
+        i1 <= r; for arbitrary probe batches the assignment only matters
+        within each interval's own range, which this still satisfies for
+        non-overlapping probes.
+        """
+        ranks = np.arange(self.npoints)
+        return np.maximum(
+            0, np.searchsorted(i1, ranks, side="right") - 1).astype(np.int32)
+
+    def calc_error_many(self, bounds_pairs):
+        i1, i2 = self._indices(bounds_pairs)
+        order = np.argsort(i1, kind="stable")
+        inv = np.argsort(order, kind="stable")
+        i1s, i2s = i1[order], i2[order]
+        seg = self._seg_of_wav(i1s)
+        return self.kernel.costs(i1s, i2s, seg)[inv]
+
+    def calc_error(self, bound1: float, bound2: float) -> float:
+        return float(self.calc_error_many([(bound1, bound2)])[0])
