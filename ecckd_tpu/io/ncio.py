@@ -61,11 +61,29 @@ class NcFile:
         self._f = h5py.File(path, "r")
 
     # -- queries ---------------------------------------------------------
+    def _resolve(self, name: str) -> str:
+        """Resolve a netCDF variable name to its HDF5 dataset: variables that
+        clash with a dimension name are stored as _nc4_non_coord_<name>
+        (netcdf-c convention)."""
+        alt = "_nc4_non_coord_" + name
+        if alt in self._f:
+            return alt
+        return name
+
     def exist(self, name: str) -> bool:
-        return name in self._f and isinstance(self._f[name], h5py.Dataset)
+        name = self._resolve(name)
+        if name not in self._f or not isinstance(self._f[name], h5py.Dataset):
+            return False
+        ds = self._f[name]
+        # A pure dimension scale with no data is not a netCDF variable
+        nm = ds.attrs.get("NAME")
+        if nm is not None and bytes(nm).startswith(
+                b"This is a netCDF dimension but not a netCDF variable"):
+            return False
+        return True
 
     def size(self, name: str) -> Tuple[int, ...]:
-        return tuple(self._f[name].shape)
+        return tuple(self._f[self._resolve(name)].shape)
 
     def names(self) -> List[str]:
         return [k for k in self._f.keys() if isinstance(self._f[k], h5py.Dataset)]
@@ -75,7 +93,7 @@ class NcFile:
              index2: Optional[int] = None) -> np.ndarray:
         """Read a variable; ``index`` selects along the leading dimension
         (matching DataFile's slice-read convention, DataFile.h:140-220)."""
-        ds = self._f[name]
+        ds = self._f[self._resolve(name)]
         if ds.shape == ():  # scalar
             return _decode(ds[()])
         if index is None:
@@ -100,7 +118,7 @@ class NcFile:
     # -- attributes ------------------------------------------------------
     def attribute(self, attr: str, var: Optional[str] = None,
                   default: Any = None) -> Any:
-        obj = self._f if var is None else self._f[var]
+        obj = self._f if var is None else self._f[self._resolve(var)]
         if attr in obj.attrs:
             return _decode(obj.attrs[attr])
         return default
@@ -132,6 +150,7 @@ class NcWriter:
         self._dims: Dict[str, Optional[int]] = {}
         self._dim_order: List[str] = []
         self._var_dims: Dict[str, Tuple[str, ...]] = {}
+        self._pending_attach: List[Tuple[str, int, str]] = []
         self._deflate = deflate_level
         # NetCDF-4 files written by the netcdf-c library carry this marker;
         # harmless and helps tools identify the flavour.
@@ -154,6 +173,8 @@ class NcWriter:
         """
         if name in self._f:
             ds = self._f[name]
+            if "CLASS" not in ds.attrs:
+                ds.make_scale(name)
         else:
             length = self._dims[name]
             if length is None:
@@ -162,9 +183,9 @@ class NcWriter:
             else:
                 ds = self._f.create_dataset(
                     name, shape=(length,), dtype=np.float32)
-            ds.attrs["NAME"] = np.bytes_(_DIM_WITHOUT_VAR + b" %10d" % ds.shape[0])
-        if "CLASS" not in ds.attrs:
-            ds.make_scale(name)
+            # netcdf-c writes the sentinel as the scale NAME itself
+            ds.make_scale((_DIM_WITHOUT_VAR + b" %10d" % ds.shape[0]
+                           ).decode())
         return ds
 
     # -- variables -------------------------------------------------------
@@ -172,11 +193,16 @@ class NcWriter:
                         *dims: str, deflate: Optional[int] = None,
                         chunks: Optional[Tuple[int, ...]] = None,
                         fill_value: Optional[float] = None):
-        if name in self._f:
-            raise ValueError(f"Variable {name!r} already defined")
         for d in dims:
             if d not in self._dims:
                 raise ValueError(f"Dimension {d!r} not defined")
+        # netcdf-c convention: a variable sharing a dimension's name that is
+        # NOT its 1-D coordinate variable is stored as _nc4_non_coord_<name>
+        store_name = name
+        if name in self._dims and tuple(dims) != (name,):
+            store_name = "_nc4_non_coord_" + name
+        if store_name in self._f:
+            raise ValueError(f"Variable {name!r} already defined")
         if dtype == "string":
             h5type: Any = h5py.string_dtype("utf-8")
         else:
@@ -196,17 +222,41 @@ class NcWriter:
             kwargs["chunks"] = True
         if fill_value is not None:
             kwargs["fillvalue"] = fill_value
-        ds = self._f.create_dataset(name, shape=shape, maxshape=maxshape,
-                                    dtype=h5type, **kwargs)
-        self._var_dims[name] = tuple(dims)
-        # Attach dimension scales (skip self-attachment for coordinate vars)
+        ds = self._f.create_dataset(store_name, shape=shape,
+                                    maxshape=maxshape, dtype=h5type, **kwargs)
+        self._var_dims[store_name] = tuple(dims)
+        # Scale attachment is deferred to close(): a coordinate variable may
+        # be defined after variables that use its dimension, and HDF5 forbids
+        # attaching scales to a dataset that is itself a scale.
         for axis, d in enumerate(dims):
-            if d == name:
-                ds.make_scale(name)
-                continue
-            scale = self._ensure_dim_dataset(d)
-            ds.dims[axis].attach_scale(scale)
+            self._pending_attach.append((store_name, axis, d))
         return ds
+
+    def _attach_scales(self):
+        """Create/choose dimension-scale datasets and attach them.
+
+        A 1-D variable whose single dimension shares its name becomes the
+        coordinate variable (the netCDF convention); other dimensions get
+        stub scales.  Self-attachment and scale-on-scale attachment are
+        skipped (HDF5 restriction; netCDF tools resolve these by name).
+        """
+        is_coord = {}
+        for dim in self._dims:
+            is_coord[dim] = (dim in self._f
+                             and self._var_dims.get(dim) == (dim,))
+            if is_coord[dim]:
+                self._f[dim].make_scale(dim)
+        for var, axis, dim in self._pending_attach:
+            if var == dim:
+                continue
+            if var in self._dims and is_coord.get(var):
+                continue    # var is itself a scale; cannot attach to it
+            scale = self._ensure_dim_dataset(dim)
+            try:
+                self._f[var].dims[axis].attach_scale(scale)
+            except (RuntimeError, OSError):
+                pass
+        self._pending_attach = []
 
     def write(self, data: Any, name: str, index: Optional[int] = None):
         """Write data to a defined variable (or define-and-write a scalar).
@@ -215,6 +265,9 @@ class NcWriter:
         unlimited (the reference's per-concentration LUT writes and lw_spectra
         unlimited-column writes).
         """
+        alt = "_nc4_non_coord_" + name
+        if alt in self._f:
+            name = alt
         if name not in self._f:
             # Auto-define scalars/strings for convenience
             if isinstance(data, str):
@@ -245,6 +298,9 @@ class NcWriter:
     # -- attributes ------------------------------------------------------
     def write_attribute(self, value: Any, attr: str,
                         var: Optional[str] = None):
+        if var is not None and var not in self._f \
+                and "_nc4_non_coord_" + var in self._f:
+            var = "_nc4_non_coord_" + var
         obj = self._f if var is None else self._f[var]
         if isinstance(value, str):
             obj.attrs[attr] = np.bytes_(value.encode("utf-8"))
@@ -274,6 +330,8 @@ class NcWriter:
         self.write_attribute(history, "history")
 
     def close(self):
+        if self._pending_attach:
+            self._attach_scales()
         self._f.close()
 
     def __enter__(self):
