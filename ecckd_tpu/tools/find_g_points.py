@@ -1,0 +1,762 @@
+"""find_g_points: partition reordered spectra into g-points.
+
+TPU-native equivalent of src/ecckd/find_g_points.cpp:430-1662, the heart of
+the spectral partitioning.  Per gas and band, an equipartition search finds
+rank intervals of equal radiative cost; all candidate-interval costs of a
+sweep are evaluated in ONE jitted TPU kernel (partition.cost_kernel) instead
+of the reference's OpenMP loop.  Features covered: per-gas background
+spectra, LW and SW (incl. the total-transmission method with low/high
+scaling runs), g_split sub-band machinery, base_split/base_wavenumber
+dissection, min/max g-point overrides with sqrt-spaced re-initialization,
+the SW cloud pseudo-gas, hypercube gas overlap, and the g-point NetCDF
+output schema.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import logs
+from ..config import Config
+from ..constants import REFERENCE_COS_SZA, LW_DIFFUSIVITY
+from ..io import NcFile, NcWriter, write_standard_attributes, read_order
+from ..io.spectrum import read_merged_spectrum
+from ..partition.cost_kernel import (CandidateCostLw, CandidateCostSw,
+                                     CkdEquipartition)
+from ..partition.gas_data import (SingleGasData, overlap_g_points,
+                                  merged_g_point_map)
+from .common import tool_prologue, read_string_list, find_file, setup_jax
+
+
+def calc_median_sorting_variable(sorting_variable, weight, i1, i2):
+    """Weight-weighted median of the sorting variable over [i1, i2]
+    (ref find_g_points.cpp:36-49)."""
+    w = np.asarray(weight[i1:i2 + 1])
+    half = 0.5 * w.sum()
+    cum = np.cumsum(w)
+    idx = int(np.searchsorted(cum, half))
+    idx = min(idx, i2 - i1)   # loop runs iind < i2 so caps at i2
+    return float(sorting_variable[i1 + idx])
+
+
+def _sqrt_bounds(ng):
+    return np.sqrt(np.arange(ng + 1, dtype=np.float64) / ng)
+
+
+def _cloud_pseudo_gas(cfg: Config, cloud_str: str, ssi: np.ndarray
+                      ) -> SingleGasData:
+    """SW cloud pseudo-gas: partition by equal solar energy within
+    reflectance ranges (ref find_g_points.cpp:545-651)."""
+    reordering_input = cfg.read_string(f"{cloud_str}.reordering_input")
+    logs.log(f"Reading {reordering_input}")
+    order = read_order(find_file(reordering_input))
+    irank = order.rank.astype(np.int64).copy()
+    iband = order.band_number
+    sorting_variable = order.sorting_variable
+    band1 = order.wavenumber1_band
+    nband = len(band1)
+
+    max_reflectance_range = cfg.read_float(
+        f"{cloud_str}.max_reflectance_range", default=0.26)
+
+    n_g_points = np.zeros(nband, np.int64)
+    rank1_l, rank2_l, band_l = [], [], []
+    error_l, median_l = [], []
+
+    for jband in range(nband):
+        logs.log(f"Band {jband}")
+        band_index = np.nonzero(iband == jband)[0]
+        ibegin, iend = band_index[0], band_index[-1]
+        sv_band = sorting_variable[ibegin:iend + 1]
+        min_ref, max_ref = sv_band.min(), sv_band.max()
+        ng_band = int((max_ref - min_ref) / max_reflectance_range) + 1
+        n_g_points[jband] = ng_band
+
+        # Partition into equal ranges of solar energy
+        ireorder = np.empty(len(band_index), np.int64)
+        ireorder[irank[ibegin:iend + 1] - ibegin] = np.arange(ibegin,
+                                                              iend + 1)
+        cum_ssi = np.full(len(irank), -1.0)
+        cum_ssi[ireorder] = np.cumsum(ssi[ireorder])
+        band_irradiance = ssi[ibegin:iend + 1].sum()
+        d_irr = band_irradiance * (1.0 + 1.0e-8) / ng_band
+        for jg in range(ng_band):
+            sel = ((iband == jband) & (cum_ssi >= jg * d_irr)
+                   & (cum_ssi < (jg + 1) * d_irr))
+            idx = np.nonzero(sel)[0]
+            rank1_l.append(int(irank[idx].min()))
+            rank2_l.append(int(irank[idx].max()))
+            error_l.append(float(sorting_variable[idx].max()
+                                 - sorting_variable[idx].min()))
+            # -2.0 keeps cloud sorting variables below those of gases
+            median_l.append(-2.0 + float(sorting_variable[idx].mean()))
+            band_l.append(jband)
+
+    gas = SingleGasData(
+        molecule=cloud_str, n_g_points=n_g_points,
+        band_number=np.asarray(band_l, np.int32),
+        rank1=np.asarray(rank1_l, np.int64),
+        rank2=np.asarray(rank2_l, np.int64),
+        error=np.asarray(error_l), sorting_variable=np.asarray(median_l))
+    gas.store_g_points(irank)
+    gas.print()
+    return gas
+
+
+def find_g_points(cfg: Config, argv=()) -> str:
+    setup_jax(cfg)
+    from ..ops import planck_function, rt_lw, rt_direct_sw, rt_norayleigh_sw
+    from ..ops.heating_rate import heating_rate as hr_fn
+    import jax.numpy as jnp
+
+    output = cfg.read_string("output")
+    debug_partition = cfg.read_bool("debug_partition", default=False)
+
+    do_sw = False
+    cos_sza = REFERENCE_COS_SZA
+    reference_albedo = 0.15
+    ssi = None
+    ssi_file_name = cfg.read_string("ssi", default=None)
+    if ssi_file_name:
+        do_sw = True
+        logs.log("Assuming shortwave spectral region (ssi provided)")
+        f = NcFile(find_file(ssi_file_name))
+        ssi = np.asarray(f.read("solar_spectral_irradiance"), np.float64)
+        f.close()
+    else:
+        logs.log("Assuming longwave spectral region (ssi not provided)")
+
+    iprofile = cfg.read_int("iprofile", default=0)
+    hr_tol_in = np.asarray(cfg.read_floats("heating_rate_tolerance"))
+    tolerance_tolerance = cfg.read_float("tolerance_tolerance", default=0.02)
+    max_iterations = cfg.read_int("max_iterations", default=60)
+    averaging_method = cfg.read_string("averaging_method", default="linear")
+    flux_weight = cfg.read_float("flux_weight", default=0.02)
+    max_no_rayleigh_wavenumber = cfg.read_float(
+        "max_no_rayleigh_wavenumber", default=10000.0)
+    min_pressure = cfg.read_float("min_pressure", default=0.0)
+
+    single_gas_data: List[SingleGasData] = []
+    planck_hl_cache = None
+    surf_planck_cache = None
+    band_bound1 = band_bound2 = None
+    nwav = 0
+    wavenumber_orig = None
+
+    cloud_str = cfg.read_string("cloud", default=None)
+    if cloud_str:
+        logs.log(f"*** FINDING G POINTS FOR {cloud_str}")
+        if not do_sw:
+            raise ValueError("Don't yet know how to sort cloud properties "
+                             "in the longwave")
+        single_gas_data.append(_cloud_pseudo_gas(cfg, cloud_str, ssi))
+        corder = read_order(
+            find_file(cfg.read_string(f"{cloud_str}.reordering_input")))
+        band_bound1 = corder.wavenumber1_band
+        band_bound2 = corder.wavenumber2_band
+
+    gases = read_string_list(cfg, "gases")
+    for gas_str in gases:
+        Gas = gas_str.upper()
+        logs.log(f"*** FINDING G POINTS FOR {Gas}")
+
+        min_scaling = min(0.5, cfg.read_float(f"{gas_str}.min_scaling",
+                                              default=1.0))
+        max_scaling = max(2.5, cfg.read_float(f"{gas_str}.max_scaling",
+                                              default=1.0))
+
+        reordering_input = cfg.read_string(f"{gas_str}.reordering_input")
+        logs.log(f"Reading {reordering_input}")
+        order = read_order(find_file(reordering_input))
+        irank = order.rank.astype(np.int64).copy()
+        iband = order.band_number
+        band_bound1 = order.wavenumber1_band
+        band_bound2 = order.wavenumber2_band
+        sorting_variable_orig = order.sorting_variable
+        nband = len(band_bound1)
+
+        base_wavenumber_boundary = np.asarray(cfg.read_floats(
+            f"{gas_str}.base_wavenumber_boundary", default=None) or [])
+
+        g_split = np.full(nband, -1.0)
+        have_g_split = False
+        subband_wavenumber_boundary = np.asarray([])
+        raw = cfg.read_floats(f"{gas_str}.g_split", default=None)
+        if raw is not None:
+            have_g_split = True
+            n = min(nband, len(raw))
+            g_split[:n] = raw[:n]
+            sub = cfg.read_floats(f"{gas_str}.subband_wavenumber_boundary",
+                                  default=None)
+            if sub is None:
+                raise ValueError("g_split must be accompanied by "
+                                 "subband_wavenumber_boundary")
+            subband_wavenumber_boundary = np.asarray(sub)
+            logs.log(f"Bands will be split at g values according to: "
+                     f"{g_split}")
+
+        base_split = np.ones(nband)
+        raw = cfg.read_floats(f"{gas_str}.base_split", default=None)
+        if raw is not None:
+            if have_g_split:
+                raise ValueError("Cannot use both g_split and base_split")
+            n = min(nband, len(raw))
+            base_split[:n] = raw[:n]
+
+        min_g_points = np.ones(nband, np.int64)
+        raw = cfg.read_ints(f"{gas_str}.min_g_points", default=None)
+        if raw is not None:
+            n = min(nband, len(raw))
+            min_g_points[:n] = raw[:n]
+        max_g_points = np.full(nband, 256, np.int64)
+        raw = cfg.read_ints(f"{gas_str}.max_g_points", default=None)
+        if raw is not None:
+            n = min(nband, len(raw))
+            max_g_points[:n] = raw[:n]
+
+        band_albedo = np.zeros(nband)
+        no_rayleigh = band_bound2 <= max_no_rayleigh_wavenumber
+        band_albedo[no_rayleigh] = reference_albedo
+        if np.any(no_rayleigh):
+            max_no_rayleigh_wavenumber = band_bound2[no_rayleigh].max()
+
+        if len(hr_tol_in) == 1:
+            heating_rate_tolerance = np.full(nband, hr_tol_in[0])
+        elif len(hr_tol_in) == nband:
+            heating_rate_tolerance = hr_tol_in
+        else:
+            raise ValueError("heating_rate_tolerance must have either 1 "
+                             "element, or one per band")
+
+        # ireorder: index that reorders arrays into rank order
+        ireorder = np.empty(len(irank), np.int64)
+        ireorder[irank] = np.arange(len(irank))
+        sorting_variable = sorting_variable_orig[ireorder]
+        ssi_reorder = ssi[ireorder] if do_sw else None
+
+        # ---- g_split sub-band machinery (ref :788-870) ----
+        nsubband = np.zeros(nband, np.int64)
+        iupperindex = np.full(nband, -1, np.int64)
+        nsub_max = len(subband_wavenumber_boundary) + 1
+        isubband1 = np.full((nband, nsub_max), -1, np.int64)
+        isubband2 = np.full((nband, nsub_max), -1, np.int64)
+        wavenumber_cm_1 = None
+        if have_g_split:
+            wavenumber_orig = order.wavenumber
+            wavenumber_cm_1 = wavenumber_orig[ireorder]
+            for jband in range(nband):
+                in_band = ((subband_wavenumber_boundary > band_bound1[jband])
+                           & (subband_wavenumber_boundary
+                              < band_bound2[jband]))
+                if g_split[jband] > 0.0 and np.any(in_band):
+                    ibandloc = np.nonzero(iband == jband)[0]
+                    irank1 = ibandloc[0]
+                    irank3 = ibandloc[-1]
+                    irank2 = irank3
+                    iupperindex[jband] = irank3
+                    if g_split[jband] < 1.0:
+                        irank2 = int(ibandloc[0]
+                                     + g_split[jband] * (irank3 - irank1))
+                    nsub = 1 + int(np.sum(in_band))
+                    nsubband[jband] = nsub
+                    wn_bound = np.empty(nsub + 1)
+                    wn_bound[0] = band_bound1[jband]
+                    wn_bound[-1] = band_bound2[jband] + 1.0
+                    if nsub > 1:
+                        wn_bound[1:-1] = subband_wavenumber_boundary[in_band]
+                    logs.log(f"  Splitting optically thin part of band "
+                             f"{jband} into {nsub} sub-bands")
+                    irank_new = irank.copy()
+                    isubband1[jband, 0] = irank1
+                    for isub in range(nsub):
+                        if isub > 0:
+                            isubband1[jband, isub] = \
+                                isubband2[jband, isub - 1] + 1
+                        sel = ((wavenumber_cm_1 >= wn_bound[isub])
+                               & (wavenumber_cm_1 < wn_bound[isub + 1])
+                               & (irank[ireorder] >= irank1)
+                               & (irank[ireorder] <= irank2))
+                        idx = np.nonzero(sel)[0]
+                        isubband2[jband, isub] = (isubband1[jband, isub]
+                                                  + len(idx) - 1)
+                        irank_new[ireorder[idx]] = np.arange(
+                            isubband1[jband, isub],
+                            isubband2[jband, isub] + 1)
+                        logs.log(f"    Creating {wn_bound[isub]}-"
+                                 f"{wn_bound[isub + 1]} cm-1 sub-band: "
+                                 f"{len(idx)} spectral points")
+                    if isubband2[jband, nsub - 1] != irank2:
+                        raise ValueError("Failed to account for all "
+                                         "wavenumbers in split")
+                    irank = irank_new
+                    ireorder[irank] = np.arange(len(irank))
+                    sorting_variable = sorting_variable_orig[ireorder]
+                    wavenumber_cm_1 = wavenumber_orig[ireorder]
+                    if do_sw:
+                        ssi_reorder = ssi[ireorder]
+
+        # ---- Background + target spectra ----
+        if cfg.exist(f"{gas_str}.background_input"):
+            logs.log("Generating background optical depth")
+            bg = read_merged_spectrum(cfg, iprofile, f"{gas_str}.background_")
+            logs.log("  Reordering")
+            bg_optical_depth = bg.optical_depth[:, ireorder]
+            wavenumber_orig = bg.wavenumber
+        else:
+            bg_optical_depth = None
+
+        logs.log("Generating target optical depth")
+        sp = read_merged_spectrum(cfg, iprofile, f"{gas_str}.")
+        molecule = sp.molecule
+        nwav = len(sp.wavenumber)
+        if wavenumber_orig is None:
+            wavenumber_orig = sp.wavenumber
+
+        if bg_optical_depth is None:
+            bg_optical_depth = np.zeros_like(sp.optical_depth)
+
+        albedo_orig = None
+        if do_sw:
+            albedo_orig = np.zeros(nwav)
+            albedo_orig[sp.wavenumber < max_no_rayleigh_wavenumber] = \
+                reference_albedo
+
+        logs.log("  Reordering")
+        optical_depth = sp.optical_depth[:, ireorder]
+        wavenumber_cm_1 = sp.wavenumber[ireorder]
+        d_wavenumber_cm_1 = sp.d_wavenumber[ireorder]
+        pressure_hl = sp.pressure_hl
+        temperature_hl = sp.temperature_hl
+        nlay = len(pressure_hl) - 1
+        logs.log(f"{nlay} layers\n{nwav} spectral points")
+
+        albedo = albedo_orig[ireorder] if do_sw else None
+
+        # ---- Truth fluxes ----
+        total_od = bg_optical_depth + optical_depth
+        surf_emissivity = np.ones(nwav)
+        flux_up = None
+        flux_low = flux_high = None
+        if not do_sw:
+            logs.log("Computing Planck function")
+            planck_hl = np.asarray(planck_function(
+                temperature_hl, wavenumber_cm_1, d_wavenumber_cm_1))
+            surf_planck = planck_hl[-1].copy()
+            logs.log("Performing longwave radiative transfer")
+            fd, fu = rt_lw(planck_hl, total_od, surf_emissivity, surf_planck)
+            flux_dn, flux_up = np.asarray(fd), np.asarray(fu)
+        else:
+            planck_hl = surf_planck = None
+            logs.log("Performing shortwave radiative transfer")
+            flux_dn = np.asarray(rt_direct_sw(cos_sza, ssi_reorder, total_od))
+            if averaging_method == "total-transmission":
+                if max_no_rayleigh_wavenumber > 0.0:
+                    fd_lo, fu_lo = rt_norayleigh_sw(
+                        cos_sza, ssi_reorder,
+                        bg_optical_depth + min_scaling * optical_depth,
+                        albedo)
+                    fd_hi, fu_hi = rt_norayleigh_sw(
+                        cos_sza, ssi_reorder,
+                        bg_optical_depth + max_scaling * optical_depth,
+                        albedo)
+                    flux_low = (np.asarray(fd_lo), np.asarray(fu_lo))
+                    flux_high = (np.asarray(fd_hi), np.asarray(fu_hi))
+                else:
+                    fd_lo = rt_direct_sw(
+                        cos_sza, ssi_reorder,
+                        bg_optical_depth + min_scaling * optical_depth)
+                    fd_hi = rt_direct_sw(
+                        cos_sza, ssi_reorder,
+                        bg_optical_depth + max_scaling * optical_depth)
+                    flux_low = (np.asarray(fd_lo), None)
+                    flux_high = (np.asarray(fd_hi), None)
+
+        logs.log("Computing heating rate")
+        hr = np.asarray(hr_fn(pressure_hl, flux_dn, flux_up))
+        flux_dn_surf = flux_dn[-1].copy()
+        flux_up_toa = (flux_up[0].copy() if flux_up is not None
+                       else np.zeros(nwav))
+
+        extras = None
+        if do_sw and averaging_method == "total-transmission":
+            hr_low = np.asarray(hr_fn(pressure_hl, flux_low[0]))
+            hr_high = np.asarray(hr_fn(pressure_hl, flux_high[0]))
+            extras = dict(
+                flux_dn_surf_low=flux_low[0][-1],
+                flux_up_toa_low=(flux_low[1][0] if flux_low[1] is not None
+                                 else np.zeros(nwav)),
+                flux_dn_surf_high=flux_high[0][-1],
+                flux_up_toa_high=(flux_high[1][0]
+                                  if flux_high[1] is not None
+                                  else np.zeros(nwav)),
+                min_scaling=min_scaling, max_scaling=max_scaling,
+                hr_low=hr_low, hr_high=hr_high)
+
+        layer_weight = (np.sqrt(pressure_hl[1:])
+                        - np.sqrt(pressure_hl[:-1]))
+        pressure_fl = 0.5 * (pressure_hl[1:] + pressure_hl[:-1])
+        layer_weight[pressure_fl < min_pressure] = 0.0
+        layer_weight /= layer_weight.sum()
+
+        # ---- Metric (ref :1119-1150) ----
+        if averaging_method in ("linear", "logarithmic",
+                                "total-transmission"):
+            metric = optical_depth
+        elif averaging_method == "transmission":
+            metric = -np.expm1(-optical_depth * LW_DIFFUSIVITY)
+        elif averaging_method == "transmission-2":
+            metric = -np.expm1(-optical_depth * LW_DIFFUSIVITY * 2.0)
+        elif averaging_method == "square-root":
+            metric = np.sqrt(optical_depth)
+        else:
+            raise ValueError(f"Averaging method {averaging_method!r} not "
+                             "understood")
+
+        # ---- Per-band equipartition ----
+        logs.log("Finding g points:")
+        n_g_points_per_band = []
+        rank1_l, rank2_l, band_l = [], [], []
+        error_l, median_l = [], []
+
+        for jband in range(nband):
+            logs.log(f"Band {jband}")
+            band_index = np.nonzero(iband == jband)[0]
+            ibegin, iend = int(band_index[0]), int(band_index[-1])
+            sl = slice(ibegin, iend + 1)
+
+            if not do_sw:
+                kernel = CandidateCostLw(
+                    averaging_method, flux_weight, layer_weight, pressure_hl,
+                    surf_emissivity[sl], surf_planck[sl], flux_dn_surf[sl],
+                    flux_up_toa[sl], planck_hl[:, sl],
+                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl])
+            else:
+                band_extras = None
+                if extras is not None:
+                    band_extras = dict(
+                        flux_dn_surf_low=extras["flux_dn_surf_low"][sl],
+                        flux_up_toa_low=extras["flux_up_toa_low"][sl],
+                        flux_dn_surf_high=extras["flux_dn_surf_high"][sl],
+                        flux_up_toa_high=extras["flux_up_toa_high"][sl],
+                        min_scaling=min_scaling, max_scaling=max_scaling,
+                        hr_low=extras["hr_low"][:, sl],
+                        hr_high=extras["hr_high"][:, sl])
+                kernel = CandidateCostSw(
+                    averaging_method, flux_weight, layer_weight, cos_sza,
+                    pressure_hl, ssi_reorder[sl], band_albedo[jband],
+                    flux_dn_surf[sl], flux_up_toa[sl],
+                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl],
+                    extras=band_extras)
+
+            eq = CkdEquipartition(kernel)
+            eq.set_partition_max_iterations(max_iterations)
+            eq.set_partition_tolerance(tolerance_tolerance)
+            eq.set_verbose(False)
+
+            if nsubband[jband] > 1:
+                bounds_l2: List[float] = []
+                error_l2: List[float] = []
+                ng = 0
+                denom = float(iupperindex[jband] - isubband1[jband, 0])
+                for jsub in range(int(nsubband[jband])):
+                    g_start = (isubband1[jband, jsub]
+                               - isubband1[jband, 0]) / denom
+                    g_end = (isubband2[jband, jsub]
+                             - isubband1[jband, 0]) / denom
+                    logs.log(f"  Subband {jsub}: g range {g_start}-{g_end}")
+                    istatus, sb, se = eq.equipartition_e(
+                        heating_rate_tolerance[jband], g_start, g_end)
+                    if ng == 0:
+                        bounds_l2 = list(sb)
+                    else:
+                        bounds_l2[ng:ng] = list(sb)
+                    error_l2.extend(se)
+                    ng += len(se)
+                if g_split[jband] < 1.0:
+                    g_start = (isubband2[jband, int(nsubband[jband]) - 1]
+                               - isubband1[jband, 0]) / denom
+                    logs.log(f"  Final overarching subband: g range "
+                             f"{g_start}-1.0")
+                    istatus, sb, se = eq.equipartition_e(
+                        heating_rate_tolerance[jband], g_start, 1.0)
+                    nsubg = len(se)
+                    if ng + nsubg < min_g_points[jband]:
+                        nsubg = int(min_g_points[jband]) - ng
+                        sb = (g_split[jband] + (1.0 - g_split[jband])
+                              * _sqrt_bounds(nsubg))
+                        se = np.zeros(nsubg)
+                        eq._errors_up_to_date = False
+                        istatus = eq.equipartition_n(sb, se)
+                    bounds_l2[ng:ng] = list(sb)
+                    error_l2.extend(se)
+                    ng += nsubg
+                bounds = np.asarray(bounds_l2[:ng + 1])
+                error = np.asarray(error_l2)
+            else:
+                istatus, bounds, error = eq.equipartition_e(
+                    heating_rate_tolerance[jband], 0.0, 1.0)
+                ng = len(error)
+                if ng < min_g_points[jband]:
+                    logs.log(f"  {ng} intervals is fewer than minimum of "
+                             f"{min_g_points[jband]}")
+                    ng = int(min_g_points[jband])
+                    bounds = _sqrt_bounds(ng)
+                    error = np.zeros(ng)
+                    eq._errors_up_to_date = False
+                    istatus = eq.equipartition_n(bounds, error)
+                elif ng > max_g_points[jband]:
+                    logs.log(f"  {ng} intervals is more than maximum of "
+                             f"{max_g_points[jband]}")
+                    ng = int(max_g_points[jband])
+                    bounds = _sqrt_bounds(ng)
+                    error = np.zeros(ng)
+                    eq._errors_up_to_date = False
+                    istatus = eq.equipartition_n(bounds, error)
+
+            logs.log(f"  Equipartition status: {istatus.describe()}")
+            logs.log(f"      computational cost = {eq.total_comp_cost:.2f}")
+
+            # ---- base_split dissection (ref :1268-1383) ----
+            bwb_in_band = (len(base_wavenumber_boundary) > 0
+                           and np.any(
+                               (base_wavenumber_boundary > band_bound1[jband])
+                               & (base_wavenumber_boundary
+                                  < band_bound2[jband])))
+            if base_split[jband] != 1.0 or bwb_in_band:
+                bounds = list(bounds)
+                error = list(error)
+                if base_split[jband] > 1.0:
+                    nabssplit = int(base_split[jband])
+                    if nabssplit == 1:
+                        raise ValueError("Positive values of base_split "
+                                         "must be at least 2")
+                else:
+                    nabssplit = 2 + int(base_split[jband] * ng)
+
+                in_band = ((base_wavenumber_boundary > band_bound1[jband])
+                           & (base_wavenumber_boundary < band_bound2[jband]))
+                nwavsplit = 1 + int(np.sum(in_band))
+                wn_bound = np.empty(nwavsplit + 1)
+                wn_bound[0] = band_bound1[jband]
+                wn_bound[-1] = band_bound2[jband] + 1.0
+                if nwavsplit > 1:
+                    wn_bound[1:-1] = base_wavenumber_boundary[in_band]
+
+                nsplit = nwavsplit * nabssplit
+                logs.log(f"  Splitting base interval into {nsplit} pieces: "
+                         f"{nwavsplit} by wavenumber * {nabssplit} by "
+                         "absorption")
+                iwav1 = np.zeros(nwavsplit, np.int64)
+                iwav2 = np.zeros(nwavsplit, np.int64)
+                iwav1[0] = ibegin
+                iwav2[-1] = iend
+
+                if nwavsplit > 1:
+                    ind1 = eq.lower_index(bounds[0]) + ibegin
+                    ind2 = eq.upper_index(bounds[1]) + ibegin
+                    iwav1[0] = 0
+                    irank_new = irank.copy()
+                    for iws in range(nwavsplit):
+                        if iws > 0:
+                            iwav1[iws] = iwav2[iws - 1] + 1
+                        sel = ((wavenumber_cm_1 >= wn_bound[iws])
+                               & (wavenumber_cm_1 < wn_bound[iws + 1])
+                               & (irank[ireorder] <= ind2))
+                        idx = np.nonzero(sel)[0]
+                        iwav2[iws] = iwav1[iws] + len(idx) - 1
+                        irank_new[ireorder[idx]] = np.arange(
+                            iwav1[iws], iwav2[iws] + 1)
+                        logs.log(f"    Creating {wn_bound[iws]}-"
+                                 f"{wn_bound[iws + 1]} cm-1 sub-band: "
+                                 f"{len(idx)} spectral points")
+                    if iwav2[-1] != ind2:
+                        raise ValueError("Failed to account for all "
+                                         "wavenumbers in split")
+                    irank = irank_new
+                    ireorder[irank] = np.arange(len(irank))
+                    sorting_variable = sorting_variable[ireorder]
+                    wavenumber_cm_1 = wavenumber_cm_1[ireorder]
+                    if do_sw:
+                        ssi_reorder = ssi[ireorder]
+
+                upper_bound = bounds[1]
+                lower_bound_local = bounds[0]
+                error[0] = -1.0
+                ibnd = 0
+                for iws in range(nwavsplit):
+                    upper_bound_local = (upper_bound * iwav2[iws]
+                                         / float(iwav2[-1]))
+                    for iabs in range(nabssplit):
+                        if iabs < nabssplit - 1 or iws < nwavsplit - 1:
+                            bounds.insert(
+                                ibnd + 1, lower_bound_local
+                                + (upper_bound_local - lower_bound_local)
+                                * (iabs + 1) / float(nabssplit))
+                            error.insert(ibnd, -1.0)
+                            ibnd += 1
+                    lower_bound_local = upper_bound_local
+                ng += nsplit - 1
+                bounds = np.asarray(bounds)
+                error = np.asarray(error)
+
+            bounds = np.asarray(bounds, np.float64)
+            error = np.asarray(error, np.float64)
+            if np.any(np.diff(bounds) <= 0.0):
+                raise ValueError("Bounds are not monotonically increasing")
+
+            n_g_points_per_band.append(ng)
+            weight_for_median = surf_planck if not do_sw else ssi_reorder
+            for ig in range(ng):
+                ind1 = eq.lower_index(bounds[ig]) + ibegin
+                ind2 = eq.upper_index(bounds[ig + 1]) + ibegin
+                rank1_l.append(ind1)
+                rank2_l.append(ind2)
+                error_l.append(float(error[ig]))
+                band_l.append(jband)
+                median_l.append(calc_median_sorting_variable(
+                    sorting_variable, weight_for_median, ind1, ind2))
+
+        gas_data = SingleGasData(
+            molecule=gas_str,
+            n_g_points=np.asarray(n_g_points_per_band, np.int64),
+            band_number=np.asarray(band_l, np.int32),
+            rank1=np.asarray(rank1_l, np.int64),
+            rank2=np.asarray(rank2_l, np.int64),
+            error=np.asarray(error_l),
+            sorting_variable=np.asarray(median_l))
+        gas_data.store_g_points(irank)
+        gas_data.print()
+        single_gas_data.append(gas_data)
+        logs.log("")
+
+    ngas = len(single_gas_data)
+
+    logs.log("*** COMPUTING SPECTRAL OVERLAP OF GASES")
+    band_number = overlap_g_points(single_gas_data)
+    ng = len(band_number)
+    g_point = merged_g_point_map(single_gas_data, ng, nwav)
+
+    # ---- Output (ref :1485-1661) ----
+    logs.log(f"Writing {output}")
+    w = NcWriter(output)
+    nband = len(band_bound1)
+    w.define_dimension("band", nband)
+    if ng > 0:
+        w.define_dimension("g_point", ng)
+    for g in single_gas_data:
+        w.define_dimension(f"{g.molecule}_g_point", g.ng())
+    if nwav > 0:
+        w.define_dimension("wavenumber", nwav)
+
+    w.define_variable("n_gases", "int")
+    w.write_long_name("Number of gases treated", "n_gases")
+    w.write_comment('The gases are listed in the global attribute '
+                    '"constituent_id".', "n_gases")
+    w.define_variable("wavenumber1_band", "float", "band")
+    w.write_long_name("Lower wavenumber bound of band", "wavenumber1_band")
+    w.write_units("cm-1", "wavenumber1_band")
+    w.define_variable("wavenumber2_band", "float", "band")
+    w.write_long_name("Upper wavenumber bound of band", "wavenumber2_band")
+    w.write_units("cm-1", "wavenumber2_band")
+    w.define_variable("band_number", "short", "g_point")
+    w.write_long_name("Band number of each g point", "band_number")
+
+    if do_sw:
+        w.define_variable("solar_irradiance", "float", "g_point")
+        w.write_long_name("Solar irradiance across each g point",
+                          "solar_irradiance")
+        w.write_units("W m-2", "solar_irradiance")
+
+    for g in single_gas_data:
+        m, M = g.molecule, g.Molecule
+        dim = f"{m}_g_point"
+        w.define_variable(f"{m}_n_g_points", "int", "band")
+        w.write_long_name(f"Number of g points for {M}", f"{m}_n_g_points")
+        w.define_variable(f"{m}_band_number", "short", dim)
+        w.write_long_name(f"Band number of each {M} g point",
+                          f"{m}_band_number")
+        w.define_variable(f"{m}_rank1", "int", dim)
+        w.write_long_name(f"Rank of first wavenumber for {M}", f"{m}_rank1")
+        w.define_variable(f"{m}_rank2", "int", dim)
+        w.write_long_name(f"Rank of last wavenumber for {M}", f"{m}_rank2")
+        w.define_variable(f"{m}_error", "float", dim)
+        w.write_long_name(f"Root-mean-square heating-rate error for {M}",
+                          f"{m}_error")
+        w.write_units("K d-1", f"{m}_error")
+        w.define_variable(f"{m}_sorting_variable", "float", dim)
+        w.write_long_name(f"Median in g-point of variable used to sort {M} "
+                          "spectrum", f"{m}_sorting_variable")
+        if ng > 0:
+            w.define_variable(f"{m}_g_min", "int", "g_point")
+            w.write_long_name(f"Minimum {M} g point contributing to merged "
+                              "g points", f"{m}_g_min")
+            w.define_variable(f"{m}_g_max", "int", "g_point")
+            w.write_long_name(f"Maximum {M} g point contributing to merged "
+                              "g points", f"{m}_g_max")
+
+    if nwav > 0:
+        w.define_variable("wavenumber", "double", "wavenumber")
+        w.write_long_name("Wavenumber", "wavenumber")
+        w.write_units("cm-1", "wavenumber")
+        w.define_variable("g_point", "short", "wavenumber", deflate=2)
+        w.write_long_name("G point", "g_point")
+        for g in single_gas_data:
+            w.define_variable(f"{g.molecule}_g_point", "short", "wavenumber",
+                              deflate=2)
+            w.write_long_name(f"{g.Molecule} g point", f"{g.molecule}_g_point")
+
+    title = ("Definition of the spectral intervals of a shortwave CKD model"
+             if do_sw else
+             "Definition of the spectral intervals of a longwave CKD model")
+    write_standard_attributes(w, title)
+    w.write_attribute(" ".join(g.molecule for g in single_gas_data),
+                      "constituent_id")
+    w.append_history(argv or sys.argv)
+    w.write_attribute(cfg.serialize(), "config")
+
+    w.write(ngas, "n_gases")
+    w.write(band_bound1, "wavenumber1_band")
+    w.write(band_bound2, "wavenumber2_band")
+    w.write(band_number, "band_number")
+    if do_sw:
+        solar_irradiance = np.zeros(ng)
+        for ig in range(ng):
+            solar_irradiance[ig] = ssi[g_point == ig].sum()
+        nbad = int(np.sum(solar_irradiance <= 0.0))
+        if nbad:
+            logs.warning(f"{nbad} shortwave g points have zero solar "
+                         "irradiance")
+        w.write(solar_irradiance, "solar_irradiance")
+
+    for g in single_gas_data:
+        m = g.molecule
+        w.write(np.asarray(g.n_g_points, np.int32), f"{m}_n_g_points")
+        w.write(np.asarray(g.band_number, np.int16), f"{m}_band_number")
+        w.write(np.asarray(g.rank1, np.int32), f"{m}_rank1")
+        w.write(np.asarray(g.rank2, np.int32), f"{m}_rank2")
+        w.write(g.error, f"{m}_error")
+        w.write(g.sorting_variable, f"{m}_sorting_variable")
+        if ng > 0:
+            w.write(np.asarray(g.g_min, np.int32), f"{m}_g_min")
+            w.write(np.asarray(g.g_max, np.int32), f"{m}_g_max")
+
+    if nwav > 0:
+        w.write(wavenumber_orig, "wavenumber")
+        w.write(np.asarray(g_point, np.int16), "g_point")
+        for g in single_gas_data:
+            w.write(np.asarray(g.g_point, np.int16), f"{g.molecule}_g_point")
+    w.close()
+    return output
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = tool_prologue(argv)
+    find_g_points(cfg, argv=["find_g_points"] + list(argv))
+
+
+if __name__ == "__main__":
+    main()

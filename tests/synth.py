@@ -139,9 +139,12 @@ def synth_spectrum_file(path, molecule="h2o", ncol=5, nlay=15, nwav=2048,
     pressure_hl = np.zeros((ncol, nlay + 1))
     temperature_hl = np.zeros((ncol, nlay + 1))
     for icol in range(ncol):
-        pressure_hl[icol] = np.linspace(100.0, 1.013e5, nlay + 1)
-        temperature_hl[icol] = np.linspace(210.0 + 4 * icol,
-                                           284.0 + 4 * icol, nlay + 1)
+        # Log-even pressure grid like the CKDMIP Idealized dataset, so the
+        # resulting LUT satisfies calc_optical_depth's even-log assumption
+        pressure_hl[icol] = np.exp(np.linspace(np.log(100.0),
+                                               np.log(1.013e5), nlay + 1))
+        temperature_hl[icol] = np.linspace(210.0 + 8 * icol,
+                                           284.0 + 8 * icol, nlay + 1)
     if is_sw:
         wavenumber = np.linspace(250.0, 50000.0, nwav)
     else:
