@@ -1,0 +1,126 @@
+"""Benchmark: spectral candidate-sweep kernel throughput per chip.
+
+Measures the framework's hot loop — the batched candidate-interval cost
+kernel of find_g_points (fitted-od computation + broadband two-stream RT
+over every wavenumber + prefix-sum interval reductions + heating-rate cost;
+see ecckd_tpu/partition/cost_kernel.py) — on the default accelerator, in
+float32, and reports wavenumber-bins x layers processed per second.
+
+vs_baseline is the speedup over the same kernel executed on the host CPU
+(the reference ecCKD publishes no benchmark numbers — BASELINE.md — so the
+all-cores host run of the identical computation is the measured stand-in
+for the OpenMP C++ reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NLAY = int(os.environ.get("BENCH_NLAY", 50))
+NWAV = int(os.environ.get("BENCH_NWAV", 1 << 20))
+NSEG = int(os.environ.get("BENCH_NSEG", 64))
+N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
+CPU_NWAV = min(NWAV, 1 << 17)
+CPU_ITERS = 3
+
+
+def build_inputs(nlay, nwav, nseg, dtype):
+    rng = np.random.default_rng(0)
+    pressure_hl = np.exp(np.linspace(np.log(100.0), np.log(1.0e5),
+                                     nlay + 1))
+    wav = np.linspace(10.0, 3000.0, nwav)
+    k = np.sort(10.0 ** rng.uniform(-4, 2, nwav))
+    col = (pressure_hl[1:] - pressure_hl[:-1]) / pressure_hl[-1]
+    od = np.outer(col, k)
+    bg_od = 0.05 * col[:, None] * np.ones((1, nwav))
+    from ecckd_tpu.ops import planck_function
+    t_hl = np.linspace(210.0, 290.0, nlay + 1)
+    planck_hl = np.asarray(planck_function(t_hl, wav,
+                                           np.full(nwav, wav[1] - wav[0])))
+    surf_planck = planck_hl[-1] * 1.05
+    emis = np.ones(nwav)
+    from ecckd_tpu.constants import LW_DIFFUSIVITY
+    metric = -np.expm1(-LW_DIFFUSIVITY * od)
+    # Plausible truth fields
+    hr = rng.normal(0.0, 1e-5, (nlay, nwav))
+    layer_weight = np.sqrt(pressure_hl[1:]) - np.sqrt(pressure_hl[:-1])
+    layer_weight /= layer_weight.sum()
+    edges = np.linspace(0, nwav, nseg + 1).astype(np.int32)
+    i1 = edges[:-1]
+    i2 = edges[1:] - 1
+    seg_of_wav = np.repeat(np.arange(nseg, dtype=np.int32),
+                           np.diff(edges))
+    cast = lambda a: np.asarray(a, dtype)
+    return dict(
+        layer_weight=cast(layer_weight), pressure_hl=cast(pressure_hl),
+        surf_emissivity=cast(emis), surf_planck=cast(surf_planck),
+        flux_dn_surf=cast(planck_hl[-1] * 0.5),
+        flux_up_toa=cast(planck_hl[0] * 0.8),
+        planck_hl=cast(planck_hl), bg_od=cast(bg_od), metric=cast(metric),
+        hr=cast(hr), i1=i1, i2=i2, seg_of_wav=seg_of_wav)
+
+
+def run_bench(device, nwav, n_iters, dtype):
+    import jax
+    import jax.numpy as jnp
+    from ecckd_tpu.partition.cost_kernel import CandidateCostLw
+
+    data = build_inputs(NLAY, nwav, NSEG, dtype)
+    with jax.default_device(device):
+        kernel = CandidateCostLw(
+            "transmission", 0.02, data["layer_weight"], data["pressure_hl"],
+            data["surf_emissivity"], data["surf_planck"],
+            data["flux_dn_surf"], data["flux_up_toa"], data["planck_hl"],
+            data["bg_od"], data["metric"], data["hr"])
+        jitted = jax.jit(kernel._kernel)
+        arrays = kernel._arrays()
+        i1 = jnp.asarray(data["i1"])
+        i2 = jnp.asarray(data["i2"])
+        seg = jnp.asarray(data["seg_of_wav"])
+        # Warm up (compile)
+        out = jitted(arrays, i1, i2, seg)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = jitted(arrays, i1, i2, seg)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+    if not np.all(np.isfinite(np.asarray(out))):
+        raise RuntimeError("benchmark kernel produced non-finite costs")
+    return nwav * NLAY * n_iters / dt
+
+
+def main():
+    import jax
+
+    devices = jax.devices()
+    accel = devices[0]
+    on_accelerator = accel.platform != "cpu"
+
+    throughput = run_bench(accel, NWAV, N_ITERS, np.float32)
+
+    vs_baseline = 1.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        cpu_throughput = run_bench(cpu, CPU_NWAV, CPU_ITERS, np.float32)
+        vs_baseline = throughput / cpu_throughput
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "candidate_sweep_wavenumber_bins_layers_per_s_per_chip",
+        "value": throughput,
+        "unit": "bins*layers/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Bounded L-BFGS driver for LUT optimization.
+
+TPU-native equivalent of solve_adept (src/ecckd/solve_adept.cpp:309-419):
+the state is log(k) per active gas (MIN_X sentinel holding exact zeros at
+zero), bounds come from the min/max LUT arrays with the reference's zero-min
+fixups, and each iteration evaluates ONE jit-compiled value_and_grad of the
+full training cost on device.  The L-BFGS update itself is a tiny O(n_state)
+host-side computation (scipy L-BFGS-B), negligible next to the radiative
+transfer; the heavy lifting (cost + gradient over all scenes/profiles)
+happens in a single XLA executable per scene shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import logs
+from .cost_fn import (MIN_X, SceneArrays, SceneMeta, build_scene,
+                      make_cost_fn, make_prior_fn)
+
+
+class MinimizerStatus(enum.Enum):
+    SUCCESS = 0
+    MAX_ITERATIONS_REACHED = 1
+    FAILED = 2
+    INVALID_COST_FUNCTION = 3
+
+    def describe(self):
+        return {
+            MinimizerStatus.SUCCESS: "Converged",
+            MinimizerStatus.MAX_ITERATIONS_REACHED:
+                "Maximum iterations reached",
+            MinimizerStatus.FAILED: "Failed to converge",
+            MinimizerStatus.INVALID_COST_FUNCTION: "Invalid cost function",
+        }[self]
+
+
+def log_state_tree(model) -> Dict[str, np.ndarray]:
+    """Log-space state with MIN_X sentinel for zeros
+    (ref solve_adept.cpp:335-340)."""
+    tree = {}
+    for mol, k in model.active_lut_pytree().items():
+        k = np.asarray(k, np.float64)
+        with np.errstate(divide="ignore"):
+            x = np.where(k > 0.0, np.log(np.where(k > 0.0, k, 1.0)), MIN_X)
+        tree[mol] = x
+    return tree
+
+
+def state_bounds(model) -> (Dict[str, np.ndarray], Dict[str, np.ndarray]):
+    """Log-space bounds from min/max LUTs with zero-min fixups
+    (ref solve_adept.cpp:344-377 and ChangeLog v1.5)."""
+    x_min_tree, x_max_tree = {}, {}
+    for g in model.single_gas_data:
+        if not g.is_active:
+            continue
+        k = np.asarray(g.molar_abs, np.float64)
+        kmin = g.min_molar_abs
+        kmax = g.max_molar_abs
+        lo = np.full(k.shape, -np.inf)
+        hi = np.full(k.shape, np.inf)
+        if kmin is not None:
+            with np.errstate(divide="ignore"):
+                x = np.where(k > 0.0, np.log(np.where(k > 0, k, 1)), MIN_X)
+                x_max = np.where(kmax > 0.0,
+                                 np.log(np.where(kmax > 0, kmax, 1)), np.inf)
+                x_min = np.where(kmin > 0.0,
+                                 np.log(np.where(kmin > 0, kmin, 1)),
+                                 -np.inf)
+            # Where min is zero but k>0, widen: twice as far below (log) as
+            # x_max is above x, capped at x_max-1
+            fix = (kmin == 0.0) & (k > 0.0) & (kmax > 0.0)
+            x_min = np.where(fix, np.minimum(3.0 * x - 2.0 * x_max,
+                                             x_max - 1.0), x_min)
+            bad = (kmax > 0.0) & (x_min >= x_max)
+            nbad = int(bad.sum())
+            if nbad:
+                logs.warning(f"{nbad} bounds on the state variables have "
+                             "x_min>=x_max")
+                x_min = np.where(bad, x_max - 1.0, x_min)
+            lo, hi = x_min, x_max
+        x_min_tree[g.molecule] = lo
+        x_max_tree[g.molecule] = hi
+    if model.rayleigh_is_active:
+        k = np.asarray(model.rayleigh_molar_scat, np.float64)
+        x_min_tree["rayleigh"] = np.full(k.shape, -np.inf)
+        x_max_tree["rayleigh"] = np.full(k.shape, np.inf)
+    return x_min_tree, x_max_tree
+
+
+@dataclasses.dataclass
+class SolveResult:
+    status: MinimizerStatus
+    cost: float
+    n_iterations: int
+    n_evaluations: int
+    gradient_norm: float
+    wall_time: float
+    seconds_per_iteration: float
+
+
+def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
+          broadband_weight=0.5, spectral_boundary_weight=0.0,
+          erythemal_weight=0.0, prior_error=-1.0, max_iterations=3000,
+          convergence_criterion=0.02, negative_od_penalty=1.0e4,
+          pressure_weight_power=0.5, is_bounded=True,
+          relative_fluxes=None) -> SolveResult:
+    """Optimize the active gases' LUTs against LBL training fluxes.
+
+    ``training_data`` is a list of LblFluxes; the model is updated in place.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+    from scipy.optimize import minimize
+    from ..ops.cost import CostWeights
+
+    weights = CostWeights(
+        flux_weight=flux_weight, flux_profile_weight=flux_profile_weight,
+        broadband_weight=broadband_weight,
+        spectral_boundary_weight=spectral_boundary_weight)
+
+    scenes = []
+    for ilbl, lbl in enumerate(training_data):
+        rel = None
+        if relative_fluxes is not None:
+            rel = relative_fluxes[ilbl]
+        scenes.append(build_scene(model, lbl,
+                                  pressure_weight_power=pressure_weight_power,
+                                  erythemal_weight=erythemal_weight,
+                                  relative_fluxes=rel))
+
+    data_cost = make_cost_fn(model, scenes, weights,
+                             negative_od_penalty=negative_od_penalty)
+    prior_cost = make_prior_fn(model)
+
+    x0_tree = log_state_tree(model)
+    prior_tree = {k: v.copy() for k, v in x0_tree.items()}
+
+    def total_cost(tree):
+        return data_cost(tree) + prior_cost(tree, prior_tree)
+
+    value_and_grad = jax.jit(jax.value_and_grad(total_cost))
+
+    x0_flat, unravel = ravel_pytree(
+        {k: jnp.asarray(v) for k, v in x0_tree.items()})
+    x0_flat = np.asarray(x0_flat)
+    sentinel_mask = x0_flat <= MIN_X
+
+    bounds = None
+    if is_bounded:
+        lo_tree, hi_tree = state_bounds(model)
+        lo_flat = np.asarray(ravel_pytree(
+            {k: jnp.asarray(v) for k, v in lo_tree.items()})[0])
+        hi_flat = np.asarray(ravel_pytree(
+            {k: jnp.asarray(v) for k, v in hi_tree.items()})[0])
+        # Sentinel entries are held fixed
+        lo_flat = np.where(sentinel_mask, x0_flat, lo_flat)
+        hi_flat = np.where(sentinel_mask, x0_flat, hi_flat)
+        lo_flat = np.where(np.isfinite(lo_flat), lo_flat, None)
+        hi_flat = np.where(np.isfinite(hi_flat), hi_flat, None)
+        bounds = list(zip(lo_flat, hi_flat))
+        n_lo = sum(1 for b in bounds if b[0] is not None)
+        n_hi = sum(1 for b in bounds if b[1] is not None)
+        logs.log(f"  Minimization is bounded: {n_lo} lower, {n_hi} upper "
+                 f"bounds out of {len(bounds)} state variables")
+    else:
+        logs.log("  Minimization is unbounded")
+
+    logs.log(f"Optimizing coefficients with L-BFGS: max iterations = "
+             f"{max_iterations}, convergence criterion = "
+             f"{convergence_criterion}")
+    logs.log("  CKD model interpolation is "
+             + ("LOGARITHMIC" if model.logarithmic_interpolation
+                else "LINEAR"))
+
+    n_eval = [0]
+    last_grad_norm = [np.inf]
+    t0 = time.perf_counter()
+
+    def fun(x_flat):
+        tree = unravel(jnp.asarray(x_flat))
+        val, grad = value_and_grad(tree)
+        grad_flat = np.array(ravel_pytree(grad)[0], np.float64, copy=True)
+        # Hold sentinels fixed; flush tiny gradients
+        # (ref solve_adept.cpp:276-286)
+        grad_flat[sentinel_mask] = 0.0
+        grad_flat[np.abs(grad_flat) < 1.0e-80] = 0.0
+        n_eval[0] += 1
+        last_grad_norm[0] = np.abs(grad_flat).max()
+        return float(val), grad_flat
+
+    n_iter = [0]
+
+    def report(x_flat):
+        n_iter[0] += 1
+        if n_iter[0] % 10 == 1 or n_iter[0] < 5:
+            logs.log(f"Iteration {n_iter[0]}: gradient norm = "
+                     f"{last_grad_norm[0]:.6g}")
+
+    result = minimize(
+        fun, x0_flat, jac=True, method="L-BFGS-B", bounds=bounds,
+        callback=report,
+        options=dict(maxiter=max_iterations, gtol=convergence_criterion,
+                     ftol=1e-14, maxcor=30))
+    wall = time.perf_counter() - t0
+
+    x_final = np.asarray(result.x)
+    tree_final = unravel(jnp.asarray(x_final))
+    k_tree = {mol: np.where(np.asarray(v) > MIN_X,
+                            np.exp(np.asarray(v)), 0.0)
+              for mol, v in tree_final.items()}
+    model.set_active_lut_pytree(k_tree)
+
+    if not np.isfinite(result.fun):
+        status = MinimizerStatus.INVALID_COST_FUNCTION
+    elif result.success:
+        status = MinimizerStatus.SUCCESS
+    elif result.nit >= max_iterations:
+        status = MinimizerStatus.MAX_ITERATIONS_REACHED
+    elif last_grad_norm[0] <= convergence_criterion:
+        status = MinimizerStatus.SUCCESS
+    else:
+        status = MinimizerStatus.FAILED
+
+    logs.log(f"Final cost function = {result.fun:.6g} after {result.nit} "
+             f"iterations, {n_eval[0]} evaluations, {wall:.1f} s "
+             f"({wall / max(result.nit, 1):.3f} s/iter)")
+    return SolveResult(
+        status=status, cost=float(result.fun), n_iterations=int(result.nit),
+        n_evaluations=n_eval[0], gradient_norm=float(last_grad_norm[0]),
+        wall_time=wall,
+        seconds_per_iteration=wall / max(int(result.nit), 1))

@@ -84,18 +84,26 @@ class CandidateCostLw:
         self.npoints = int(self.metric.shape[1])
         self._jitted: Dict[int, object] = {}
 
-    def _kernel(self, i1, i2, seg_of_wav):
-        od_fit = fit_optical_depth_lw(self.averaging_method, self.planck_hl,
-                                      self.metric, i1, i2)
+    def _arrays(self):
+        """Array operands passed as jit ARGUMENTS (never closures, which XLA
+        would constant-fold — prohibitively slow for big spectra)."""
+        return (self.layer_weight, self.pressure_hl, self.surf_emissivity,
+                self.surf_planck, self.flux_dn_surf, self.flux_up_toa,
+                self.planck_hl, self.bg_od, self.metric, self.hr)
+
+    def _kernel(self, arrays, i1, i2, seg_of_wav):
+        (layer_weight, pressure_hl, surf_emissivity, surf_planck,
+         flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = arrays
+        od_fit = fit_optical_depth_lw(self.averaging_method, planck_hl,
+                                      metric, i1, i2)
         grey = jnp.take(od_fit, seg_of_wav, axis=1)
         flux_dn, flux_up = rt_lw_bb_intervals(
-            self.planck_hl, self.bg_od, grey,
-            self.surf_emissivity, self.surf_planck, i1, i2)
-        hr_true = interval_sum(self.hr, i1, i2)
-        fd_surf_true = interval_sum(self.flux_dn_surf, i1, i2)
-        fu_toa_true = interval_sum(self.flux_up_toa, i1, i2)
+            planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
+        hr_true = interval_sum(hr, i1, i2)
+        fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
+        fu_toa_true = interval_sum(flux_up_toa, i1, i2)
         return _candidate_cost_from_fluxes(
-            self.pressure_hl, self.layer_weight, self.flux_weight,
+            pressure_hl, layer_weight, self.flux_weight,
             flux_dn, flux_up, hr_true, fd_surf_true, fu_toa_true)
 
     def costs(self, i1: np.ndarray, i2: np.ndarray,
@@ -107,8 +115,8 @@ class CandidateCostLw:
         i1p = np.zeros(nb, np.int32); i1p[:n] = i1
         i2p = np.zeros(nb, np.int32); i2p[:n] = i2
         seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
-        out = self._jitted[nb](jnp.asarray(i1p), jnp.asarray(i2p),
-                               jnp.asarray(seg))
+        out = self._jitted[nb](self._arrays(), jnp.asarray(i1p),
+                               jnp.asarray(i2p), jnp.asarray(seg))
         return np.asarray(out)[:n].astype(np.float64)
 
 
@@ -141,43 +149,53 @@ class CandidateCostSw:
                                float(v)) for k, v in extras.items()}
         self._jitted: Dict[int, object] = {}
 
-    def _cost_with(self, od_fit, seg_of_wav, i1, i2,
+    def _arrays(self):
+        """Array operands passed as jit ARGUMENTS, not closures (closures
+        get constant-folded by XLA at compile time)."""
+        return (self.layer_weight, self.pressure_hl, self.ssi,
+                self.flux_dn_surf, self.flux_up_toa, self.bg_od,
+                self.metric, self.hr, self.extras)
+
+    def _cost_with(self, arrs, od_fit, seg_of_wav, i1, i2,
                    flux_dn_surf, flux_up_toa, hr):
+        (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
         grey = jnp.take(od_fit, seg_of_wav, axis=1)
         with_up = self.surf_albedo > 0.0
         flux_dn, flux_up = rt_sw_bb_intervals(
-            self.cos_sza, self.ssi, self.bg_od, grey,
+            self.cos_sza, ssi, bg_od, grey,
             self.surf_albedo, i1, i2, with_upwelling=with_up)
         hr_true = interval_sum(hr, i1, i2)
         fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
         fu_toa_true = interval_sum(flux_up_toa, i1, i2)
         # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
-        hr_fit = heating_rate(self.pressure_hl, flux_dn)
+        hr_fit = heating_rate(pressure_hl, flux_dn)
         hr_err = hr_fit - hr_true
         dn_err = flux_dn[-1] - fd_surf_true
         up_err = flux_up[0] - fu_toa_true
         return jnp.sqrt(
             HR_WEIGHT * HR_WEIGHT
-            * jnp.sum(self.layer_weight[:, None] * hr_err * hr_err, axis=0)
+            * jnp.sum(layer_weight[:, None] * hr_err * hr_err, axis=0)
             + self.flux_weight * (dn_err * dn_err + up_err * up_err))
 
-    def _kernel(self, i1, i2, seg_of_wav):
+    def _kernel(self, arrs, i1, i2, seg_of_wav):
+        (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
+         extras) = arrs
         if self.averaging_method == "total-transmission":
-            ex = self.extras
+            ex = extras
             od_fit = fit_optical_depth_sw_total_trans(
-                self.ssi, self.bg_od, self.metric, i1, i2)
+                ssi, bg_od, metric, i1, i2)
             cf_low = self._cost_with(
-                od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
+                arrs, od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
                 ex["flux_dn_surf_low"], ex["flux_up_toa_low"], ex["hr_low"])
             cf_high = self._cost_with(
-                od_fit * ex["max_scaling"], seg_of_wav, i1, i2,
+                arrs, od_fit * ex["max_scaling"], seg_of_wav, i1, i2,
                 ex["flux_dn_surf_high"], ex["flux_up_toa_high"],
                 ex["hr_high"])
             return 0.5 * (cf_low + cf_high)
-        od_fit = fit_optical_depth_sw(self.averaging_method, self.ssi,
-                                      self.metric, i1, i2)
-        return self._cost_with(od_fit, seg_of_wav, i1, i2,
-                               self.flux_dn_surf, self.flux_up_toa, self.hr)
+        od_fit = fit_optical_depth_sw(self.averaging_method, ssi,
+                                      metric, i1, i2)
+        return self._cost_with(arrs, od_fit, seg_of_wav, i1, i2,
+                               flux_dn_surf, flux_up_toa, hr)
 
     def costs(self, i1: np.ndarray, i2: np.ndarray,
               seg_of_wav: np.ndarray) -> np.ndarray:
@@ -188,8 +206,8 @@ class CandidateCostSw:
         i1p = np.zeros(nb, np.int32); i1p[:n] = i1
         i2p = np.zeros(nb, np.int32); i2p[:n] = i2
         seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
-        out = self._jitted[nb](jnp.asarray(i1p), jnp.asarray(i2p),
-                               jnp.asarray(seg))
+        out = self._jitted[nb](self._arrays(), jnp.asarray(i1p),
+                               jnp.asarray(i2p), jnp.asarray(seg))
         return np.asarray(out)[:n].astype(np.float64)
 
 

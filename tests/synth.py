@@ -189,3 +189,65 @@ def synth_spectrum_file(path, molecule="h2o", ncol=5, nlay=15, nwav=2048,
         w.write_attribute(molecule, "constituent_id")
         w.write_attribute("synthetic spectrum", "title")
     return path
+
+
+def synth_lbl_flux_file(path, spectrum_files, gpoint_file, molecules,
+                        iprofiles=(0,)):
+    """Synthetic LW LBL training-flux file in the CKDMIP format LblFluxes
+    reads (ref lbl_fluxes.cpp:253-350): spectral fluxes per g-point computed
+    from the high-res spectra via the merged g-point map."""
+    import jax
+    from ecckd_tpu.io import read_spectrum, NcFile
+    from ecckd_tpu.ops import planck_function, rt_lw
+
+    f = NcFile(gpoint_file)
+    g_point = np.asarray(f.read("g_point"), np.int64)
+    ng = int(g_point.max()) + 1
+    f.close()
+
+    ncol = len(iprofiles)
+    rows = {k: [] for k in ("p", "t", "vmr", "fd", "fu", "sfd", "sfu")}
+    for iprof in iprofiles:
+        sps = [read_spectrum(fn, iprof) for fn in spectrum_files]
+        sp0 = sps[0]
+        od = np.sum([sp.optical_depth for sp in sps], axis=0)
+        planck_hl = np.asarray(planck_function(
+            sp0.temperature_hl, sp0.wavenumber, sp0.d_wavenumber))
+        fd, fu = rt_lw(planck_hl, od, np.ones_like(sp0.wavenumber),
+                       planck_hl[-1])
+        fd, fu = np.asarray(fd), np.asarray(fu)
+        onehot = (g_point[:, None] == np.arange(ng)[None, :]).astype(float)
+        rows["p"].append(sp0.pressure_hl)
+        rows["t"].append(sp0.temperature_hl)
+        rows["vmr"].append(np.stack([sp.vmr_fl for sp in sps]))
+        rows["fd"].append(fd.sum(-1))
+        rows["fu"].append(fu.sum(-1))
+        rows["sfd"].append(fd @ onehot)
+        rows["sfu"].append(fu @ onehot)
+
+    nlay = rows["vmr"][0].shape[1]
+    with NcWriter(path) as w:
+        w.define_dimension("column", ncol)
+        w.define_dimension("half_level", nlay + 1)
+        w.define_dimension("level", nlay)
+        w.define_dimension("gas", len(spectrum_files))
+        w.define_dimension("g_point", ng)
+        w.define_variable("pressure_hl", "double", "column", "half_level")
+        w.define_variable("temperature_hl", "double", "column", "half_level")
+        w.define_variable("mole_fraction_fl", "double", "column", "gas",
+                          "level")
+        w.define_variable("flux_dn_lw", "double", "column", "half_level")
+        w.define_variable("flux_up_lw", "double", "column", "half_level")
+        w.define_variable("spectral_flux_dn_lw", "double", "column",
+                          "half_level", "g_point")
+        w.define_variable("spectral_flux_up_lw", "double", "column",
+                          "half_level", "g_point")
+        w.write(np.stack(rows["p"]), "pressure_hl")
+        w.write(np.stack(rows["t"]), "temperature_hl")
+        w.write(np.stack(rows["vmr"]), "mole_fraction_fl")
+        w.write(np.stack(rows["fd"]), "flux_dn_lw")
+        w.write(np.stack(rows["fu"]), "flux_up_lw")
+        w.write(np.stack(rows["sfd"]), "spectral_flux_dn_lw")
+        w.write(np.stack(rows["sfu"]), "spectral_flux_up_lw")
+        w.write_attribute(" ".join(molecules), "constituent_id")
+    return path
