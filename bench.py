@@ -67,18 +67,23 @@ def build_inputs(nlay, nwav, nseg, dtype):
         hr=cast(hr), i1=i1, i2=i2, seg_of_wav=seg_of_wav)
 
 
-def run_bench(device, nwav, n_iters, dtype):
+def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     import jax
     import jax.numpy as jnp
     from ecckd_tpu.partition.cost_kernel import CandidateCostLw
 
     data = build_inputs(NLAY, nwav, NSEG, dtype)
     with jax.default_device(device):
+        if use_pallas is None:
+            use_pallas = (device.platform == "tpu"
+                          and os.environ.get("BENCH_KERNEL", "pallas")
+                          == "pallas")
         kernel = CandidateCostLw(
             "transmission", 0.02, data["layer_weight"], data["pressure_hl"],
             data["surf_emissivity"], data["surf_planck"],
             data["flux_dn_surf"], data["flux_up_toa"], data["planck_hl"],
-            data["bg_od"], data["metric"], data["hr"])
+            data["bg_od"], data["metric"], data["hr"],
+            use_pallas=use_pallas)
         jitted = jax.jit(kernel._kernel)
         arrays = kernel._arrays()
         i1 = jnp.asarray(data["i1"])
@@ -109,7 +114,8 @@ def main():
     vs_baseline = 1.0
     try:
         cpu = jax.devices("cpu")[0]
-        cpu_throughput = run_bench(cpu, CPU_NWAV, CPU_ITERS, np.float32)
+        cpu_throughput = run_bench(cpu, CPU_NWAV, CPU_ITERS, np.float32,
+                                   use_pallas=False)
         vs_baseline = throughput / cpu_throughput
     except Exception:
         pass

@@ -175,9 +175,14 @@ class LblFluxes:
                 self._read_boundary_fluxes_sw(f, g_point, ncol, index_sza)
 
     def _update_albedo(self):
-        self.effective_spectral_albedo = (
-            self.spectral_flux_up[:, -1, :].sum(0)
-            / self.spectral_flux_dn[:, -1, :].sum(0))
+        dn = self.spectral_flux_dn[:, -1, :].sum(0)
+        up = self.spectral_flux_up[:, -1, :].sum(0)
+        # Guard fully-extinguished g-points (the reference divides directly,
+        # lbl_fluxes.cpp:147-148, but enables FPE trapping so its inputs
+        # never reach 0/0)
+        self.effective_spectral_albedo = np.where(dn > 0.0, up
+                                                  / np.where(dn > 0, dn, 1.0),
+                                                  0.0)
 
     def _map_bands_sw(self, band_mapping):
         nband = int(band_mapping.max()) + 1

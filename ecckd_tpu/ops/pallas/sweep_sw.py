@@ -1,0 +1,132 @@
+"""Fused Pallas TPU kernel for the SW candidate-sweep broadband RT.
+
+SW counterpart of sweep_lw: direct-beam Beer-Lambert downwelling at
+sec(sza), optional no-Rayleigh upwelling at the fixed two-stream secant 2.0
+(Zdunkowski), tiled over wavenumber with the whole recurrence in VMEM and
+per-interval membership matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import SW_DIFFUSE_SECANT
+
+TILE = 1024
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _sweep_kernel(nlay: int, nseg: int, cos_sza: float, albedo: float,
+                  with_up: bool,
+                  i1_ref, i2_ref, seg_ref, od_fit_ref, ssi_ref,
+                  bgod_ref, fd_ref, fu_ref):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        fd_ref[:, :] = jnp.zeros_like(fd_ref)
+        fu_ref[:, :] = jnp.zeros_like(fu_ref)
+
+    base = t * TILE
+    seg = seg_ref[0, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 1)
+    part = (seg[:, None] == col).astype(od_fit_ref.dtype)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 0) + base
+    member = ((idx >= i1_ref[0, :][None, :])
+              & (idx <= i2_ref[0, :][None, :])).astype(od_fit_ref.dtype)
+
+    od_fit = od_fit_ref[:, :]
+    grey = jnp.dot(od_fit, part.T, preferred_element_type=od_fit.dtype,
+                   precision=_HI)
+    od = bgod_ref[:, :] + grey
+    minus_sec = -1.0 / cos_sza
+
+    flux = cos_sza * ssi_ref[0, :]
+    fd_ref[0, :] += jnp.dot(flux[None, :], member,
+                            preferred_element_type=flux.dtype,
+                            precision=_HI)[0]
+    for lay in range(nlay):
+        flux = flux * jnp.exp(minus_sec * od[lay])
+        fd_ref[lay + 1, :] += jnp.dot(flux[None, :], member,
+                                      preferred_element_type=flux.dtype,
+                                      precision=_HI)[0]
+
+    if with_up:
+        flux = flux * albedo
+        fu_ref[nlay, :] += jnp.dot(flux[None, :], member,
+                                   preferred_element_type=flux.dtype,
+                                   precision=_HI)[0]
+        for lay in range(nlay - 1, -1, -1):
+            flux = flux * jnp.exp(-SW_DIFFUSE_SECANT * od[lay])
+            fu_ref[lay, :] += jnp.dot(flux[None, :], member,
+                                      preferred_element_type=flux.dtype,
+                                      precision=_HI)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
+                                             "with_upwelling", "interpret"))
+def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
+                              cos_sza: float, albedo: float,
+                              with_upwelling: bool = True,
+                              interpret: bool = False):
+    """Per-interval broadband SW fluxes, fused Pallas kernel.
+
+    Args: ssi: (nwav,); bg_od: (nlay, nwav); od_fit: (nlay, nseg);
+    seg_of_wav: (nwav,); i1, i2: (nseg,); cos_sza/albedo static scalars.
+
+    Returns (flux_dn, flux_up), each (nlev+1, nseg); flux_up zeros without
+    upwelling.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nlay, nwav = bg_od.shape
+    nlev1 = nlay + 1
+    nseg = i1.shape[0]
+    dtype = bg_od.dtype
+
+    ntile = -(-nwav // TILE)
+    pad = ntile * TILE - nwav
+    if pad:
+        ssi = jnp.pad(ssi, (0, pad))
+        bg_od = jnp.pad(bg_od, ((0, 0), (0, pad)))
+        seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
+
+    kernel = functools.partial(_sweep_kernel, nlay, nseg, float(cos_sza),
+                               float(albedo), bool(with_upwelling))
+    whole = lambda i: (0, 0)
+    fd, fu = pl.pallas_call(
+        kernel,
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((1, nseg), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nseg), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, nseg), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nlev1, nseg), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev1, nseg), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nlev1, nseg), dtype),
+                   jax.ShapeDtypeStruct((nlev1, nseg), dtype)],
+        interpret=interpret,
+    )(
+        jnp.asarray(i1, jnp.int32)[None, :],
+        jnp.asarray(i2, jnp.int32)[None, :],
+        jnp.asarray(seg_of_wav, jnp.int32)[None, :],
+        jnp.asarray(od_fit, dtype),
+        ssi[None, :].astype(dtype),
+        bg_od,
+    )
+    return fd, fu

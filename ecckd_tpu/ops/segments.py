@@ -11,24 +11,54 @@ number of intervals, fully parallel, no scatters.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def interval_sum(values, i1, i2):
+def interval_sum(values, i1, i2, tile: int = 8192):
     """Sum ``values`` over inclusive index intervals along the last axis.
+
+    Implemented as tiled membership matmuls: per wavenumber tile a
+    (tile, nseg) membership matrix ``i1 <= idx <= i2`` is built on the fly
+    and the reduction rides the MXU.  Exact for arbitrary (overlapping)
+    intervals, O(n * nseg) MACs, no prefix sums (prefix scans map poorly to
+    TPU compared to matmuls).
 
     Args:
       values: (..., n) data.
-      i1, i2: (nseg,) int32 interval bounds, inclusive, 0 <= i1 <= i2 < n.
+      i1, i2: (nseg,) int interval bounds, inclusive, 0 <= i1 <= i2 < n.
 
     Returns:
       (..., nseg) per-interval sums.
     """
     v = jnp.asarray(values)
-    c = jnp.cumsum(v, axis=-1)
-    zero = jnp.zeros(c.shape[:-1] + (1,), c.dtype)
-    c = jnp.concatenate([zero, c], axis=-1)     # c[..., k] = sum of first k
-    return jnp.take(c, i2 + 1, axis=-1) - jnp.take(c, i1, axis=-1)
+    i1 = jnp.asarray(i1, jnp.int32)
+    i2 = jnp.asarray(i2, jnp.int32)
+    n = v.shape[-1]
+    nseg = i1.shape[0]
+    if n <= tile:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, nseg), 0)
+        member = ((idx >= i1[None, :]) & (idx <= i2[None, :])).astype(v.dtype)
+        return jnp.matmul(v, member, preferred_element_type=v.dtype)
+
+    ntile = -(-n // tile)
+    pad = ntile * tile - n
+    v_p = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
+    v_t = jnp.moveaxis(v_p.reshape(v.shape[:-1] + (ntile, tile)), -2, 0)
+    bases = jnp.arange(ntile, dtype=jnp.int32) * tile
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0)
+
+    def body(acc, xs):
+        v_tile, base = xs
+        idx = tile_iota + base
+        member = ((idx >= i1[None, :])
+                  & (idx <= i2[None, :])).astype(v.dtype)
+        return acc + jnp.matmul(v_tile, member,
+                                preferred_element_type=v.dtype), None
+
+    init = jnp.zeros(v.shape[:-1] + (nseg,), v.dtype)
+    out, _ = jax.lax.scan(body, init, (v_t, bases))
+    return out
 
 
 def interval_count(mask, i1, i2, dtype=None):

@@ -68,9 +68,18 @@ class CandidateCostLw:
 
     def __init__(self, averaging_method: str, flux_weight: float,
                  layer_weight, pressure_hl, surf_emissivity, surf_planck,
-                 flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr):
+                 flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr,
+                 use_pallas: Optional[bool] = None,
+                 pallas_interpret: bool = False):
+        import jax
         self.averaging_method = averaging_method
         self.flux_weight = float(flux_weight)
+        # Fused Pallas sweep kernel: default on for f32 TPU execution
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and jnp.asarray(metric).dtype == jnp.float32)
+        self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = bool(pallas_interpret)
         self.layer_weight = jnp.asarray(layer_weight)
         self.pressure_hl = jnp.asarray(pressure_hl)
         self.surf_emissivity = jnp.asarray(surf_emissivity)
@@ -96,9 +105,15 @@ class CandidateCostLw:
          flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = arrays
         od_fit = fit_optical_depth_lw(self.averaging_method, planck_hl,
                                       metric, i1, i2)
-        grey = jnp.take(od_fit, seg_of_wav, axis=1)
-        flux_dn, flux_up = rt_lw_bb_intervals(
-            planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
+        if self.use_pallas:
+            from ..ops.pallas.sweep_lw import rt_lw_bb_intervals_pallas
+            flux_dn, flux_up = rt_lw_bb_intervals_pallas(
+                planck_hl, bg_od, od_fit, seg_of_wav, surf_emissivity,
+                surf_planck, i1, i2, interpret=self.pallas_interpret)
+        else:
+            grey = jnp.take(od_fit, seg_of_wav, axis=1)
+            flux_dn, flux_up = rt_lw_bb_intervals(
+                planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
         hr_true = interval_sum(hr, i1, i2)
         fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
         fu_toa_true = interval_sum(flux_up_toa, i1, i2)
@@ -129,9 +144,17 @@ class CandidateCostSw:
     def __init__(self, averaging_method: str, flux_weight: float,
                  layer_weight, cos_sza, pressure_hl, ssi, surf_albedo,
                  flux_dn_surf, flux_up_toa, bg_od, metric, hr,
-                 extras: Optional[dict] = None):
+                 extras: Optional[dict] = None,
+                 use_pallas: Optional[bool] = None,
+                 pallas_interpret: bool = False):
+        import jax
         self.averaging_method = averaging_method
         self.flux_weight = float(flux_weight)
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and jnp.asarray(metric).dtype == jnp.float32)
+        self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = bool(pallas_interpret)
         self.layer_weight = jnp.asarray(layer_weight)
         self.cos_sza = float(cos_sza)
         self.pressure_hl = jnp.asarray(pressure_hl)
@@ -159,11 +182,18 @@ class CandidateCostSw:
     def _cost_with(self, arrs, od_fit, seg_of_wav, i1, i2,
                    flux_dn_surf, flux_up_toa, hr):
         (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
-        grey = jnp.take(od_fit, seg_of_wav, axis=1)
         with_up = self.surf_albedo > 0.0
-        flux_dn, flux_up = rt_sw_bb_intervals(
-            self.cos_sza, ssi, bg_od, grey,
-            self.surf_albedo, i1, i2, with_upwelling=with_up)
+        if self.use_pallas:
+            from ..ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
+            flux_dn, flux_up = rt_sw_bb_intervals_pallas(
+                ssi, bg_od, od_fit, seg_of_wav, i1, i2,
+                cos_sza=self.cos_sza, albedo=self.surf_albedo,
+                with_upwelling=with_up, interpret=self.pallas_interpret)
+        else:
+            grey = jnp.take(od_fit, seg_of_wav, axis=1)
+            flux_dn, flux_up = rt_sw_bb_intervals(
+                self.cos_sza, ssi, bg_od, grey,
+                self.surf_albedo, i1, i2, with_upwelling=with_up)
         hr_true = interval_sum(hr, i1, i2)
         fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
         fu_toa_true = interval_sum(flux_up_toa, i1, i2)

@@ -138,6 +138,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
     max_no_rayleigh_wavenumber = cfg.read_float(
         "max_no_rayleigh_wavenumber", default=10000.0)
     min_pressure = cfg.read_float("min_pressure", default=0.0)
+    use_pallas = cfg.read_bool("use_pallas", default=None)
 
     single_gas_data: List[SingleGasData] = []
     planck_hl_cache = None
@@ -432,7 +433,8 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     averaging_method, flux_weight, layer_weight, pressure_hl,
                     surf_emissivity[sl], surf_planck[sl], flux_dn_surf[sl],
                     flux_up_toa[sl], planck_hl[:, sl],
-                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl])
+                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl],
+                    use_pallas=use_pallas)
             else:
                 band_extras = None
                 if extras is not None:
@@ -449,7 +451,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     pressure_hl, ssi_reorder[sl], band_albedo[jband],
                     flux_dn_surf[sl], flux_up_toa[sl],
                     bg_optical_depth[:, sl], metric[:, sl], hr[:, sl],
-                    extras=band_extras)
+                    extras=band_extras, use_pallas=use_pallas)
 
             eq = CkdEquipartition(kernel)
             eq.set_partition_max_iterations(max_iterations)

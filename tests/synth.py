@@ -251,3 +251,96 @@ def synth_lbl_flux_file(path, spectrum_files, gpoint_file, molecules,
         w.write(np.stack(rows["sfu"]), "spectral_flux_up_lw")
         w.write_attribute(" ".join(molecules), "constituent_id")
     return path
+
+
+def synth_ssi_file(path, wavenumber):
+    """Solar spectral irradiance file (reorder/find_g_points/create_lut SW
+    input): solar_spectral_irradiance per wavenumber + total."""
+    ssi = 20.0 * np.exp(-((wavenumber - 20000.0) / 15000.0) ** 2) + 0.5
+    ssi = ssi * (1361.0 / ssi.sum())
+    with NcWriter(path) as w:
+        w.define_dimension("wavenumber", len(wavenumber))
+        w.define_variable("wavenumber", "double", "wavenumber")
+        w.define_variable("solar_spectral_irradiance", "double", "wavenumber")
+        w.define_variable("total_solar_irradiance", "double")
+        w.write(wavenumber, "wavenumber")
+        w.write(ssi, "solar_spectral_irradiance")
+        w.write(float(ssi.sum()), "total_solar_irradiance")
+    return path, ssi
+
+
+def synth_sw_lbl_flux_file(path, spectrum_files, gpoint_file, molecules,
+                           ssi, iprofiles=(0,)):
+    """Synthetic SW LBL training-flux file in the CKDMIP format LblFluxes
+    reads (ref lbl_fluxes.cpp:70-180): per-(column, mu0) direct-beam fluxes
+    plus no-Rayleigh upwelling, spectral fluxes per g-point."""
+    import jax
+    from ecckd_tpu.io import read_spectrum, NcFile
+    from ecckd_tpu.ops import rt_norayleigh_sw
+
+    f = NcFile(gpoint_file)
+    g_point = np.asarray(f.read("g_point"), np.int64)
+    ng = int(g_point.max()) + 1
+    f.close()
+    onehot = (g_point[:, None] == np.arange(ng)[None, :]).astype(float)
+
+    mu0_all = np.array([0.9, 0.7, 0.5, 0.3, 0.1])
+    albedo_value = 0.15
+
+    ncol = len(iprofiles)
+    nmu0 = len(mu0_all)
+    first = read_spectrum(spectrum_files[0], 0)
+    nlay = first.optical_depth.shape[0]
+    nwav = len(first.wavenumber)
+    albedo = np.full(nwav, albedo_value)
+
+    fd_all = np.zeros((ncol, nmu0, nlay + 1))
+    fu_all = np.zeros((ncol, nmu0, nlay + 1))
+    sfd_all = np.zeros((ncol, nmu0, nlay + 1, ng))
+    sfu_all = np.zeros((ncol, nmu0, nlay + 1, ng))
+    p_rows, t_rows, vmr_rows = [], [], []
+    for ic, iprof in enumerate(iprofiles):
+        sps = [read_spectrum(fn, iprof) for fn in spectrum_files]
+        od = np.sum([sp.optical_depth for sp in sps], axis=0)
+        p_rows.append(sps[0].pressure_hl)
+        t_rows.append(sps[0].temperature_hl)
+        vmr_rows.append(np.stack([sp.vmr_fl for sp in sps]))
+        for im, mu0 in enumerate(mu0_all):
+            fd, fu = rt_norayleigh_sw(float(mu0), ssi, od, albedo)
+            fd, fu = np.asarray(fd), np.asarray(fu)
+            fd_all[ic, im] = fd.sum(-1)
+            fu_all[ic, im] = fu.sum(-1)
+            sfd_all[ic, im] = fd @ onehot
+            sfu_all[ic, im] = fu @ onehot
+
+    with NcWriter(path) as w:
+        w.define_dimension("column", ncol)
+        w.define_dimension("mu0", nmu0)
+        w.define_dimension("half_level", nlay + 1)
+        w.define_dimension("level", nlay)
+        w.define_dimension("gas", len(spectrum_files))
+        w.define_dimension("g_point", ng)
+        w.define_variable("mu0", "double", "mu0")
+        w.define_variable("pressure_hl", "double", "column", "half_level")
+        w.define_variable("temperature_hl", "double", "column",
+                          "half_level")
+        w.define_variable("mole_fraction_fl", "double", "column", "gas",
+                          "level")
+        w.define_variable("flux_dn_direct_sw", "double", "column", "mu0",
+                          "half_level")
+        w.define_variable("flux_up_sw", "double", "column", "mu0",
+                          "half_level")
+        w.define_variable("spectral_flux_dn_direct_sw", "double", "column",
+                          "mu0", "half_level", "g_point")
+        w.define_variable("spectral_flux_up_sw", "double", "column", "mu0",
+                          "half_level", "g_point")
+        w.write(mu0_all, "mu0")
+        w.write(np.stack(p_rows), "pressure_hl")
+        w.write(np.stack(t_rows), "temperature_hl")
+        w.write(np.stack(vmr_rows), "mole_fraction_fl")
+        w.write(fd_all, "flux_dn_direct_sw")
+        w.write(fu_all, "flux_up_sw")
+        w.write(sfd_all, "spectral_flux_dn_direct_sw")
+        w.write(sfu_all, "spectral_flux_up_sw")
+        w.write_attribute(" ".join(molecules), "constituent_id")
+    return path
