@@ -24,11 +24,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NLAY = int(os.environ.get("BENCH_NLAY", 50))
-NWAV = int(os.environ.get("BENCH_NWAV", 1 << 20))
+NWAV = int(os.environ.get("BENCH_NWAV", 1 << 18))
 NSEG = int(os.environ.get("BENCH_NSEG", 64))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 CPU_NWAV = min(NWAV, 1 << 17)
 CPU_ITERS = 3
+
+# Persistent compilation cache: remote TPU compiles take minutes; repeat
+# runs (and the driver's run after a warmup) should hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def build_inputs(nlay, nwav, nseg, dtype):

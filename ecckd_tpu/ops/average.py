@@ -35,6 +35,19 @@ from .segments import interval_sum
 
 _TRANS_CLAMP = 0.9999999999999999
 
+
+def _trans_clamp(dtype):
+    """Largest representable transmission mean below 1 for the dtype.
+
+    The reference's double constant 0.9999999999999999 rounds to exactly
+    1.0f in float32, which would make -log1p(-mean) infinite; cap f32 at
+    1 - 1e-6 (od cap ~8.3 at the LW diffusivity), f64 keeps reference
+    parity.
+    """
+    if jnp.dtype(dtype) == jnp.float64:
+        return _TRANS_CLAMP
+    return 1.0 - 1.0e-6
+
 # Scale factor of the transmission applied per method name
 _METHOD_SCALE = {
     "transmission": 1.0,
@@ -65,7 +78,7 @@ def fit_optical_depth_lw(averaging_method, planck_hl, metric, i1, i2):
     if averaging_method in ("transmission", "transmission-2"):
         scale = _METHOD_SCALE[averaging_method]
         mean = jnp.minimum(
-            _TRANS_CLAMP,
+            _trans_clamp(metric.dtype),
             interval_sum(metric * w_num, i1, i2) / interval_sum(w_num, i1, i2))
         return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
     if averaging_method == "square-root":
@@ -89,7 +102,7 @@ def fit_optical_depth_sw(averaging_method, ssi, metric, i1, i2):
     if averaging_method in ("transmission", "transmission-2"):
         scale = _METHOD_SCALE[averaging_method]
         # NOTE: clamp applied before normalization, as in the reference
-        mean = jnp.minimum(_TRANS_CLAMP,
+        mean = jnp.minimum(_trans_clamp(metric.dtype),
                            interval_sum(metric * ssi, i1, i2)) * norm
         return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
     if averaging_method == "square-root":
@@ -226,7 +239,8 @@ def average_od_to_gpoints(ng, g_point, optical_depth, weight,
 
     def trans_fit(scale):
         mean = jnp.minimum(
-            _TRANS_CLAMP, mean_of(-jnp.expm1(-od * (LW_DIFFUSIVITY * scale))))
+            _trans_clamp(od.dtype),
+            mean_of(-jnp.expm1(-od * (LW_DIFFUSIVITY * scale))))
         return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
 
     def log_fit():

@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 from ..constants import LW_DIFFUSIVITY
-from .average import _METHOD_SCALE, _TRANS_CLAMP
+from .average import _METHOD_SCALE, _trans_clamp
 
 
 def _block_accumulate(ng, g_point_block, od_block, weight_block,
@@ -91,7 +91,7 @@ def streaming_average_od_to_gpoints(reader, ng, g_point, weight_fn,
         fit = mean
     elif averaging_method in _METHOD_SCALE:
         scale = _METHOD_SCALE[averaging_method]
-        mean = np.minimum(_TRANS_CLAMP, mean)
+        mean = np.minimum(_trans_clamp(mean.dtype), mean)
         fit = np.abs(-np.log1p(-mean) / (LW_DIFFUSIVITY * scale))
     else:   # square-root
         fit = mean * mean

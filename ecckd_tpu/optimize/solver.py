@@ -93,6 +93,37 @@ def state_bounds(model) -> (Dict[str, np.ndarray], Dict[str, np.ndarray]):
     return x_min_tree, x_max_tree
 
 
+def _shard_scene_profiles(scene):
+    """Shard every per-profile array of a scene across all devices (pads the
+    profile axis to a device multiple by repeating the last profile with
+    zero weight would bias sums, so instead requires divisibility)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P, Mesh
+    import numpy as _np
+
+    devices = jax.devices()
+    ncol = scene.pressure_hl.shape[0]
+    n = len(devices)
+    while n > 1 and ncol % n:
+        n -= 1
+    if n <= 1:
+        return scene
+    mesh = Mesh(_np.asarray(devices[:n]), axis_names=("data",))
+    out = {}
+    for name, arr in scene._asdict().items():
+        if arr is None:
+            out[name] = None
+            continue
+        a = jnp.asarray(arr)
+        if a.ndim >= 1 and a.shape[0] == ncol:
+            sharding = NamedSharding(mesh, P("data"))
+        else:
+            sharding = NamedSharding(mesh, P())
+        out[name] = jax.device_put(a, sharding)
+    return type(scene)(**out)
+
+
 @dataclasses.dataclass
 class SolveResult:
     status: MinimizerStatus
@@ -109,16 +140,20 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
           erythemal_weight=0.0, prior_error=-1.0, max_iterations=3000,
           convergence_criterion=0.02, negative_od_penalty=1.0e4,
           pressure_weight_power=0.5, is_bounded=True,
-          relative_fluxes=None) -> SolveResult:
+          relative_fluxes=None, data_parallel=False) -> SolveResult:
     """Optimize the active gases' LUTs against LBL training fluxes.
 
     ``training_data`` is a list of LblFluxes; the model is updated in place.
+    With ``data_parallel`` and more than one device, per-profile scene
+    arrays are sharded across all devices (the LUT pytree stays replicated,
+    so XLA psums the gradients over the mesh).
     """
     import jax
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree
     from scipy.optimize import minimize
     from ..ops.cost import CostWeights
+    from ..logs import Timer
 
     weights = CostWeights(
         flux_weight=flux_weight, flux_profile_weight=flux_profile_weight,
@@ -134,6 +169,10 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
                                   pressure_weight_power=pressure_weight_power,
                                   erythemal_weight=erythemal_weight,
                                   relative_fluxes=rel))
+
+    if data_parallel and len(jax.devices()) > 1:
+        scenes = [( _shard_scene_profiles(scene), meta)
+                  for scene, meta in scenes]
 
     data_cost = make_cost_fn(model, scenes, weights,
                              negative_od_penalty=negative_od_penalty)
@@ -182,11 +221,17 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     n_eval = [0]
     last_grad_norm = [np.inf]
     t0 = time.perf_counter()
+    # Named-activity breakdown matching the reference's Timer split
+    # (solve_adept.cpp:214-231): device cost+gradient vs host minimizer
+    timer = Timer()
+    timer.start("minimizer")
 
     def fun(x_flat):
+        timer.start("cost function + gradient (device)")
         tree = unravel(jnp.asarray(x_flat))
         val, grad = value_and_grad(tree)
         grad_flat = np.array(ravel_pytree(grad)[0], np.float64, copy=True)
+        timer.start("minimizer")
         # Hold sentinels fixed; flush tiny gradients
         # (ref solve_adept.cpp:276-286)
         grad_flat[sentinel_mask] = 0.0
@@ -231,6 +276,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     logs.log(f"Final cost function = {result.fun:.6g} after {result.nit} "
              f"iterations, {n_eval[0]} evaluations, {wall:.1f} s "
              f"({wall / max(result.nit, 1):.3f} s/iter)")
+    logs.log(timer.report())
     return SolveResult(
         status=status, cost=float(result.fun), n_iterations=int(result.nit),
         n_evaluations=n_eval[0], gradient_norm=float(last_grad_norm[0]),

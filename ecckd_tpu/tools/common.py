@@ -72,11 +72,17 @@ def setup_jax(cfg: Optional[Config] = None):
     import jax
     precision = "float64"
     platform = None
+    debug_nans = False
     if cfg is not None:
         precision = cfg.read_string("precision", default="float64")
         platform = cfg.read_string("jax_platform", default=None)
+        debug_nans = cfg.read_bool("debug_nans", default=False)
     if platform:
         jax.config.update("jax_platforms", platform)
     if precision == "float64":
         jax.config.update("jax_enable_x64", True)
+    if debug_nans:
+        # Parity with the reference's enable_floating_point_exceptions()
+        # (floating_point_exceptions.h:20-25, used by optimize_lut/scale_lut)
+        jax.config.update("jax_debug_nans", True)
     return jax

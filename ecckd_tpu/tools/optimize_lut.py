@@ -96,6 +96,7 @@ def optimize_lut(cfg: Config, argv=()) -> int:
     if band_mapping is not None:
         band_mapping = np.asarray(band_mapping)
     remove_min_max = cfg.read_bool("remove_min_max", default=False)
+    data_parallel = cfg.read_bool("data_parallel", default=True)
 
     model = CkdModel.read(input_file, active_gas_list=gas_list)
     model.model_id = model_id
@@ -160,7 +161,7 @@ def optimize_lut(cfg: Config, argv=()) -> int:
         convergence_criterion=convergence_criterion,
         negative_od_penalty=negative_od_penalty,
         pressure_weight_power=pressure_weight_power, is_bounded=is_bounded,
-        relative_fluxes=relative_list)
+        relative_fluxes=relative_list, data_parallel=data_parallel)
 
     logs.log(f"Convergence status: {result.status.describe()}")
 

@@ -81,3 +81,53 @@ class TestDryrun:
         out = jax.jit(fn)(*args)
         for o in out:
             assert np.all(np.isfinite(np.asarray(o)))
+
+
+@pytest.mark.skipif(not has_devices(8), reason="needs 8 devices")
+class TestDataParallelSolve:
+    def test_sharded_matches_unsharded(self, tmp_path):
+        """solve(data_parallel=True) must give the same optimum."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synth import (synth_spectrum_file, synth_lbl_flux_file)
+        from ecckd_tpu.config import Config
+        from ecckd_tpu.tools.reorder_spectrum import reorder_spectrum
+        from ecckd_tpu.tools.find_g_points import find_g_points
+        from ecckd_tpu.tools.create_lut import create_lut
+        from ecckd_tpu.models import CkdModel
+        from ecckd_tpu.io.lbl_fluxes import LblFluxes
+        from ecckd_tpu.optimize import solve
+        from ecckd_tpu.tools.optimize_lut import _prepare_lbl
+
+        d = tmp_path
+        h2o = synth_spectrum_file(str(d / "h2o.h5"), nwav=512, ncol=6)
+        order = str(d / "o.h5")
+        reorder_spectrum(Config({"input": h2o, "output": order}), argv=["r"])
+        gp = str(d / "g.h5")
+        find_g_points(Config({
+            "output": gp, "gases": "h2o", "heating_rate_tolerance": "0.4",
+            "averaging_method": "transmission",
+            "h2o.reordering_input": order, "h2o.input": h2o}), argv=["f"])
+        lut = str(d / "l.nc")
+        create_lut(Config({
+            "input": gp, "output": lut, "gases": "h2o",
+            "averaging_method": "transmission",
+            "h2o.conc_dependence": "linear", "h2o.input": h2o}), argv=["c"])
+        training = str(d / "t.nc")
+        # 4 profiles -> divisible across 2/4 devices
+        synth_lbl_flux_file(training, [h2o], gp, ["h2o"],
+                            iprofiles=(0, 1, 2, 3))
+
+        results = {}
+        for dp in (False, True):
+            model = CkdModel.read(lut, active_gas_list=["h2o"])
+            model.create_error_covariances(prior_error=4.0)
+            lbl = LblFluxes.read(training)
+            _prepare_lbl(lbl, model, 1e4)
+            res = solve(model, [lbl], max_iterations=15, prior_error=4.0,
+                        data_parallel=dp)
+            results[dp] = (res.cost, model.gas("h2o").molar_abs.copy())
+        np.testing.assert_allclose(results[True][0], results[False][0],
+                                   rtol=1e-8)
+        np.testing.assert_allclose(results[True][1], results[False][1],
+                                   rtol=1e-6)
