@@ -79,8 +79,13 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     data = build_inputs(NLAY, nwav, NSEG, dtype)
     with jax.default_device(device):
         if use_pallas is None:
+            # The Pallas kernel is ~1.6x faster end-to-end (1.13e9 vs 7.2e8
+            # bins*layers/s measured through the dispatch-latency-limited
+            # relay) but its remote compile takes ~30 min on this
+            # environment's axon path; default to the XLA kernel so the
+            # bench reliably completes, opt in with BENCH_KERNEL=pallas.
             use_pallas = (device.platform == "tpu"
-                          and os.environ.get("BENCH_KERNEL", "pallas")
+                          and os.environ.get("BENCH_KERNEL", "xla")
                           == "pallas")
         kernel = CandidateCostLw(
             "transmission", 0.02, data["layer_weight"], data["pressure_hl"],
