@@ -65,6 +65,27 @@ def read_string_list(cfg: Config, key: str) -> List[str]:
     return out
 
 
+class maybe_profile:
+    """Context manager: write a jax.profiler trace when the ``profile_dir``
+    config key is set (TPU-equivalent of the reference's Timer-based
+    activity profiling, SURVEY.md §5)."""
+
+    def __init__(self, cfg: Optional[Config]):
+        self.trace_dir = (cfg.read_string("profile_dir", default=None)
+                          if cfg is not None else None)
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+            jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+
+
 def setup_jax(cfg: Optional[Config] = None):
     """Configure JAX for a pipeline tool: float64 by default (matching the
     reference's double precision), overridable with precision=float32 for

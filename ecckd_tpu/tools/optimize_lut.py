@@ -21,7 +21,8 @@ from ..io.lbl_fluxes import LblFluxes
 from ..models import CkdModel
 from ..optimize import solve, MinimizerStatus
 from ..optimize.cost_fn import make_total_od_fn, build_scene, MIN_X
-from .common import tool_prologue, read_string_list, find_file, setup_jax
+from .common import (tool_prologue, read_string_list, find_file,
+                     setup_jax, maybe_profile)
 
 
 def _prepare_lbl(fluxes: LblFluxes, model: CkdModel,
@@ -151,17 +152,19 @@ def optimize_lut(cfg: Config, argv=()) -> int:
     if rel_ckd is not None:
         relative_list = [rel_ckd] * len(training_data)
 
-    result = solve(
-        model, training_data, flux_weight=flux_weight,
-        flux_profile_weight=flux_profile_weight,
-        broadband_weight=broadband_weight,
-        spectral_boundary_weight=spectral_boundary_weight,
-        erythemal_weight=erythemal_weight, prior_error=prior_error,
-        max_iterations=max_iterations,
-        convergence_criterion=convergence_criterion,
-        negative_od_penalty=negative_od_penalty,
-        pressure_weight_power=pressure_weight_power, is_bounded=is_bounded,
-        relative_fluxes=relative_list, data_parallel=data_parallel)
+    with maybe_profile(cfg):
+        result = solve(
+            model, training_data, flux_weight=flux_weight,
+            flux_profile_weight=flux_profile_weight,
+            broadband_weight=broadband_weight,
+            spectral_boundary_weight=spectral_boundary_weight,
+            erythemal_weight=erythemal_weight, prior_error=prior_error,
+            max_iterations=max_iterations,
+            convergence_criterion=convergence_criterion,
+            negative_od_penalty=negative_od_penalty,
+            pressure_weight_power=pressure_weight_power,
+            is_bounded=is_bounded,
+            relative_fluxes=relative_list, data_parallel=data_parallel)
 
     logs.log(f"Convergence status: {result.status.describe()}")
 
