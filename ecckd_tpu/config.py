@@ -105,8 +105,44 @@ class Config:
 
     @classmethod
     def from_file(cls, path: str) -> "Config":
+        """Extension-dispatched load (ref DataFile format dispatch,
+        src/tools/DataFile.cpp:76-110: cfg→Cfg engine, xml→Xml engine)."""
+        if path.endswith(".xml"):
+            return cls.from_xml(path)
         with open(path) as f:
             cfg = cls(_parse(f.read()))
+        cfg._source_files.append(path)
+        return cfg
+
+    @classmethod
+    def from_xml(cls, path: str) -> "Config":
+        """Read a config from an XML document: element nesting maps to the
+        dotted-section namespace, element text (whitespace-separated) to
+        values, exactly as ``\\begin sec … \\end sec`` does in the cfg
+        language.
+
+        The reference's XML engine (src/tools/DataFileEngineXml.cpp) is only
+        built against the proprietary GMV ECSL library (#ifdef HAVE_GMVECSL)
+        and is absent from default builds; this standalone reader keeps the
+        same DataFile-facade semantics without that dependency.
+        """
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        data: Dict[str, str] = {}
+
+        def walk(elem, prefix):
+            children = list(elem)
+            text = (elem.text or "").strip()
+            if text:
+                data[prefix] = " ".join(text.split())
+            for child in children:
+                walk(child, f"{prefix}.{child.tag}" if prefix
+                     else child.tag)
+
+        for child in root:
+            walk(child, child.tag)
+        cfg = cls(data)
         cfg._source_files.append(path)
         return cfg
 

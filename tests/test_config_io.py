@@ -87,6 +87,29 @@ class TestConfig:
         assert cfg2.read_strings("gases") == ["composite", "h2o", "o3"]
         assert cfg2.read_float("min_pressure") == 2.0
 
+    def test_xml_engine(self, tmp_path):
+        """XML configs via the DataFile extension dispatch (ref
+        src/tools/DataFile.cpp:76-110; XML engine semantics of
+        DataFileEngineXml.cpp without the GMV dependency): nesting maps
+        to dotted sections, element text to (list) values."""
+        p = tmp_path / "conf.xml"
+        p.write_text("""<config>
+  <iprofile>0</iprofile>
+  <gases>composite h2o o3</gases>
+  <h2o>
+    <input>h2o_median.h5</input>
+    <conc_dependence>lut</conc_dependence>
+  </h2o>
+</config>""")
+        cfg = Config.from_file(str(p))
+        assert cfg.read_int("iprofile") == 0
+        assert cfg.read_strings("gases") == ["composite", "h2o", "o3"]
+        assert cfg.read_string("h2o.input") == "h2o_median.h5"
+        # CLI overrides still beat XML file values
+        cfg2 = Config.from_args(["h2o.input=alt.h5", str(p)])
+        assert cfg2.read_string("h2o.input") == "alt.h5"
+        assert cfg2.read_string("h2o.conc_dependence") == "lut"
+
 
 class TestNcio:
     def test_roundtrip(self, tmp_path):
