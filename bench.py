@@ -111,12 +111,107 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     return nwav * NLAY * n_iters / dt
 
 
+def build_train_step(ng=64, nt=6, npress=53, ncol=48, nlay=50,
+                     dtype=np.float32):
+    """One optimize_lut training iteration (cost + gradient of the log-LUT
+    state, the per-iteration work of solve_adept.cpp:240-291) on a
+    synthetic LW problem of production size."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from ecckd_tpu.optimize import (build_scene, make_cost_fn, make_prior_fn,
+                                    log_state_tree)
+    from ecckd_tpu.ops.cost import CostWeights
+    from ecckd_tpu.io.lbl_fluxes import LblFluxes
+    from ecckd_tpu.constants import ACCEL_GRAVITY, SPECIFIC_HEAT_AIR
+
+    model = ge._synthetic_model(ng=ng, nt=nt, npress=npress)
+    pressure_hl, temperature_hl, vmr = ge._atmosphere(model, ncol=ncol,
+                                                      nlay=nlay)
+    rng = np.random.default_rng(0)
+    lbl = LblFluxes()
+    lbl.is_sw = False
+    lbl.pressure_hl = pressure_hl
+    lbl.temperature_hl = temperature_hl
+    lbl.vmr_fl = vmr[:, None, :]
+    lbl.molecules = ["h2o"]
+    lbl.spectral_flux_dn = np.abs(rng.normal(5.0, 1.0,
+                                             (ncol, nlay + 1, ng)))
+    lbl.spectral_flux_up = np.abs(rng.normal(5.0, 1.0,
+                                             (ncol, nlay + 1, ng)))
+    lbl.flux_dn = lbl.spectral_flux_dn.sum(-1)
+    lbl.flux_up = lbl.spectral_flux_up.sum(-1)
+    conv = -(ACCEL_GRAVITY / SPECIFIC_HEAT_AIR) / np.diff(pressure_hl,
+                                                          axis=1)
+    lbl.spectral_heating_rate = conv[:, :, None] * (
+        np.diff(lbl.spectral_flux_dn, axis=1)
+        - np.diff(lbl.spectral_flux_up, axis=1))
+    lbl.heating_rate = lbl.spectral_heating_rate.sum(-1)
+    lbl.surf_emissivity = np.ones((ncol, ng))
+    lbl.make_gas_mapping(model.molecules)
+    lbl.planck_hl = np.asarray(model.calc_planck_function(temperature_hl))
+    lbl.surf_planck = np.asarray(
+        model.calc_planck_function(temperature_hl[:, -1]))
+    lbl.have_spectral_fluxes = True
+
+    scene, meta = build_scene(model, lbl)
+    scene = type(scene)(*[None if a is None else jnp.asarray(
+        np.asarray(a, np.float64).astype(dtype)
+        if np.asarray(a).dtype.kind == "f" else np.asarray(a))
+        for a in scene])
+    cost_fn = make_cost_fn(model, [(scene, meta)], CostWeights())
+    prior_fn = make_prior_fn(model)
+    x_tree = {k: jnp.asarray(np.asarray(v, dtype))
+              for k, v in log_state_tree(model).items()}
+    prior_tree = dict(x_tree)
+
+    def step(tree):
+        return jax.value_and_grad(
+            lambda t: cost_fn(t) + prior_fn(t, prior_tree))(tree)
+
+    return step, x_tree
+
+
+def run_optimize_bench(device, n_iters):
+    import jax
+
+    with jax.default_device(device):
+        step, x_tree = build_train_step()
+        jitted = jax.jit(step)
+        val, grad = jitted(x_tree)  # compile
+        val.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            val, grad = jitted(x_tree)
+        val.block_until_ready()
+        dt = time.perf_counter() - t0
+    if not np.isfinite(float(val)):
+        raise RuntimeError("optimize bench produced non-finite cost")
+    return dt / n_iters
+
+
 def main():
     import jax
 
     devices = jax.devices()
     accel = devices[0]
-    on_accelerator = accel.platform != "cpu"
+
+    if os.environ.get("BENCH_METRIC") == "optimize":
+        s_per_iter = run_optimize_bench(accel, max(N_ITERS, 20))
+        vs_baseline = 1.0
+        try:
+            cpu = jax.devices("cpu")[0]
+            cpu_s = run_optimize_bench(cpu, 20)
+            vs_baseline = cpu_s / s_per_iter
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "optimize_lut_seconds_per_iteration",
+            "value": s_per_iter,
+            "unit": "s/iter",
+            "vs_baseline": vs_baseline,
+        }))
+        return
 
     throughput = run_bench(accel, NWAV, N_ITERS, np.float32)
 

@@ -240,6 +240,26 @@ def build_pipeline(cfg: Config) -> Pipeline:
             run_ckd(inherit_globals(sub), argv=["run_ckd", f"eval={scen}"])
         pipe.add(f"run_ckd_{i}", [out], run_eval)
 
+        # ---- accuracy stats vs LBL benchmark fluxes (the reference's
+        # offline Matlab acceptance tests, plot/evaluate_ckd_lw_fluxes.m,
+        # as a pipeline stage) ----
+        lbl_refs = (read_string_list(cfg, "lbl_evaluation_fluxes")
+                    if cfg.exist("lbl_evaluation_fluxes") else [])
+        if i < len(lbl_refs):
+            stats_out = path(f"{mode}_stats_{model_code}_{i}.json")
+
+            def run_stats(ref=lbl_refs[i], flux=out, sout=stats_out,
+                          inp=current):
+                from ..tools.evaluate_ckd import evaluate_ckd
+                sub = Config()
+                sub.set("ref_fluxes", ref)
+                sub.set("ckd_fluxes", flux)
+                sub.set("ckd_definitions", inp)
+                sub.set("band", mode)
+                sub.set("output", sout)
+                evaluate_ckd(inherit_globals(sub))
+            pipe.add(f"evaluate_{i}", [stats_out], run_stats)
+
     return pipe
 
 

@@ -34,6 +34,11 @@ def workflow(tmp_path_factory):
         "pass1.max_iterations": "10",
         "pass1.prior_error": "4.0",
         "evaluation_input": scen,
+        # LBL benchmark for the accuracy-stats stage: the run_ckd output
+        # itself (self-comparison -> exactly zero errors), which validates
+        # the evaluate wiring without external LBL data.
+        "lbl_evaluation_fluxes": os.path.join(
+            work, "lw_fluxes_lw_test_fsck_0.nc"),
     })
     return dict(d=d, cfg=cfg, work=work, h2o=h2o)
 
@@ -47,7 +52,8 @@ class TestPipeline:
         pipe = build_pipeline(cfg)
         # Drop the optimize/eval steps for stage 1
         pipe.steps = [s for s in pipe.steps
-                      if not s.name.startswith(("optimize", "run_ckd"))]
+                      if not s.name.startswith(("optimize", "run_ckd",
+                                                "evaluate"))]
         pipe.run()
         gpoints = os.path.join(work, "lw_gpoints_lw_test_fsck.h5")
         assert os.path.exists(gpoints)
@@ -72,6 +78,15 @@ class TestPipeline:
         # Evaluation fluxes produced
         assert os.path.exists(os.path.join(work,
                                            "lw_fluxes_lw_test_fsck_0.nc"))
+        # Accuracy-stats stage ran (self-comparison: all errors zero)
+        import json
+        stats_path = os.path.join(work, "lw_stats_lw_test_fsck_0.json")
+        assert os.path.exists(stats_path)
+        stats = json.load(open(stats_path))["models"][0]
+        assert stats["toa_up_rmse"] == pytest.approx(0.0, abs=1e-12)
+        assert stats["heating_rate_low_rmse"] == pytest.approx(0.0,
+                                                               abs=1e-12)
+        assert stats["n_g_points"] >= 1
 
     def test_resume_skips_existing(self, workflow, capsys):
         pipe = build_pipeline(workflow["cfg"])
