@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NLAY = int(os.environ.get("BENCH_NLAY", 50))
-NWAV = int(os.environ.get("BENCH_NWAV", 1 << 18))
+NWAV = int(os.environ.get("BENCH_NWAV", 1 << 20))
 NSEG = int(os.environ.get("BENCH_NSEG", 64))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 10))
 CPU_NWAV = min(NWAV, 1 << 17)
