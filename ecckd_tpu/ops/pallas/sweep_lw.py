@@ -76,30 +76,33 @@ def _sweep_kernel(nlay: int, nseg: int,
     planck = planck_ref[:, :]                             # (nlev+1, TILE)
 
     # Static unroll over layers (nlay ~ 50): Pallas TPU cannot lower
-    # dynamic_slice of computed values, and the unrolled vector ops + tiny
-    # matmuls schedule well
+    # dynamic_slice of computed values.  The per-level flux rows are
+    # stacked into ONE (nlev+1, TILE) matrix per sweep direction so the
+    # interval reduction is a single well-shaped MXU matmul — per-level
+    # M=1 matmuls waste >100x of the systolic array.
     flux = jnp.zeros((TILE,), od.dtype)
+    dn_rows = [flux]                     # level 0: no downwelling at TOA
     for lay in range(nlay):
         flux = (flux * trans[lay]
                 + planck[lay] * coeff_top[lay]
                 + planck[lay + 1] * factor[lay])
-        fd_ref[lay + 1, :] += jnp.dot(
-            flux[None, :], member, preferred_element_type=flux.dtype,
-            precision=jax.lax.Precision.HIGHEST)[0]
+        dn_rows.append(flux)
+    fd_ref[:, :] += jnp.dot(
+        jnp.stack(dn_rows), member, preferred_element_type=flux.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
     emis = emis_ref[0, :]
     flux = surfp_ref[0, :] * emis + (1.0 - emis) * flux
-    fu_ref[nlay, :] += jnp.dot(
-        flux[None, :], member, preferred_element_type=flux.dtype,
-        precision=jax.lax.Precision.HIGHEST)[0]
-
+    up_rows = [None] * (nlay + 1)
+    up_rows[nlay] = flux
     for lay in range(nlay - 1, -1, -1):
         flux = (flux * trans[lay]
                 + planck[lay + 1] * coeff_top[lay]
                 + planck[lay] * factor[lay])
-        fu_ref[lay, :] += jnp.dot(
-            flux[None, :], member, preferred_element_type=flux.dtype,
-            precision=jax.lax.Precision.HIGHEST)[0]
+        up_rows[lay] = flux
+    fu_ref[:, :] += jnp.dot(
+        jnp.stack(up_rows), member, preferred_element_type=flux.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

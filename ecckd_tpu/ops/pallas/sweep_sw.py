@@ -46,26 +46,30 @@ def _sweep_kernel(nlay: int, nseg: int, cos_sza: float, albedo: float,
     od = bgod_ref[:, :] + grey
     minus_sec = -1.0 / cos_sza
 
+    # Per-level flux rows stacked into one (nlev+1, TILE) matrix so the
+    # interval reduction is a single well-shaped MXU matmul per sweep
+    # direction (per-level M=1 matmuls waste >100x of the systolic array)
+    trans_dn = jnp.exp(minus_sec * od)
     flux = cos_sza * ssi_ref[0, :]
-    fd_ref[0, :] += jnp.dot(flux[None, :], member,
-                            preferred_element_type=flux.dtype,
-                            precision=_HI)[0]
+    dn_rows = [flux]
     for lay in range(nlay):
-        flux = flux * jnp.exp(minus_sec * od[lay])
-        fd_ref[lay + 1, :] += jnp.dot(flux[None, :], member,
-                                      preferred_element_type=flux.dtype,
-                                      precision=_HI)[0]
+        flux = flux * trans_dn[lay]
+        dn_rows.append(flux)
+    fd_ref[:, :] += jnp.dot(jnp.stack(dn_rows), member,
+                            preferred_element_type=flux.dtype,
+                            precision=_HI)
 
     if with_up:
+        trans_up = jnp.exp(-SW_DIFFUSE_SECANT * od)
         flux = flux * albedo
-        fu_ref[nlay, :] += jnp.dot(flux[None, :], member,
-                                   preferred_element_type=flux.dtype,
-                                   precision=_HI)[0]
+        up_rows = [None] * (nlay + 1)
+        up_rows[nlay] = flux
         for lay in range(nlay - 1, -1, -1):
-            flux = flux * jnp.exp(-SW_DIFFUSE_SECANT * od[lay])
-            fu_ref[lay, :] += jnp.dot(flux[None, :], member,
-                                      preferred_element_type=flux.dtype,
-                                      precision=_HI)[0]
+            flux = flux * trans_up[lay]
+            up_rows[lay] = flux
+        fu_ref[:, :] += jnp.dot(jnp.stack(up_rows), member,
+                                preferred_element_type=flux.dtype,
+                                precision=_HI)
 
 
 @functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",

@@ -164,7 +164,8 @@ def optimize_lut(cfg: Config, argv=()) -> int:
             negative_od_penalty=negative_od_penalty,
             pressure_weight_power=pressure_weight_power,
             is_bounded=is_bounded,
-            relative_fluxes=relative_list, data_parallel=data_parallel)
+            relative_fluxes=relative_list, data_parallel=data_parallel,
+            solver=cfg.read_string("solver", default="scipy"))
 
     logs.log(f"Convergence status: {result.status.describe()}")
 

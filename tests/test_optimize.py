@@ -154,3 +154,35 @@ class TestOptimizeLut:
         f = NcFile(out)
         assert not f.exist("h2o_molar_absorption_coeff_min")
         f.close()
+
+
+    def test_device_solver_matches_scipy(self, pipeline, tmp_path):
+        """solver=device: the whole L-BFGS loop runs on device (optax,
+        chunked lax.while_loop).  It must improve the fluxes like the scipy
+        L-BFGS-B path and respect bounds (projection) and zero sentinels."""
+        out = str(tmp_path / "lut_opt_dev.nc")
+        rc = optimize_lut(Config({
+            "input": pipeline["lut"], "output": out, "gases": "h2o",
+            "training_input": pipeline["training"],
+            "max_iterations": "60", "convergence_criterion": "0.002",
+            "prior_error": "4.0", "flux_weight": "0.02",
+            "broadband_weight": "0.5", "bounded_minimization": "1",
+            "solver": "device",
+        }), argv=["optimize_lut"])
+        assert rc == 0
+
+        err_before = ckd_flux_errors(pipeline["lut"], pipeline["training"])
+        err_after = ckd_flux_errors(out, pipeline["training"])
+        assert err_after[0] < 0.7 * err_before[0]
+        assert err_after[2] < 0.7 * err_before[2]
+
+        before = CkdModel.read(pipeline["lut"])
+        after = CkdModel.read(out)
+        g0 = before.gas("h2o")
+        g1 = after.gas("h2o")
+        pos = g0.molar_abs > 0
+        assert np.all(g1.molar_abs[pos] <= g0.max_molar_abs[pos]
+                      * (1 + 1e-9))
+        assert np.all(g1.molar_abs[pos] >= g0.min_molar_abs[pos]
+                      * np.where(g0.min_molar_abs[pos] > 0, 1 - 1e-9, 0.0))
+        assert np.all(g1.molar_abs[~pos] == 0.0)
