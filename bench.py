@@ -79,13 +79,13 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     data = build_inputs(NLAY, nwav, NSEG, dtype)
     with jax.default_device(device):
         if use_pallas is None:
-            # The Pallas kernel is ~1.6x faster end-to-end (1.13e9 vs 7.2e8
-            # bins*layers/s measured through the dispatch-latency-limited
-            # relay) but its remote compile takes ~30 min on this
-            # environment's axon path; default to the XLA kernel so the
-            # bench reliably completes, opt in with BENCH_KERNEL=pallas.
+            # The fused Pallas sweep kernel measures 3.7e9 bins*layers/s vs
+            # 1.1e9 for the XLA path (chained single-dispatch timing, one
+            # v5e chip, f32, NWAV=2^20); its TPU compile is slow (~10 min)
+            # but persistently cached via JAX_COMPILATION_CACHE_DIR.
+            # Opt out with BENCH_KERNEL=xla.
             use_pallas = (device.platform == "tpu"
-                          and os.environ.get("BENCH_KERNEL", "xla")
+                          and os.environ.get("BENCH_KERNEL", "pallas")
                           == "pallas")
         kernel = CandidateCostLw(
             "transmission", 0.02, data["layer_weight"], data["pressure_hl"],
@@ -93,20 +93,37 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
             data["flux_dn_surf"], data["flux_up_toa"], data["planck_hl"],
             data["bg_od"], data["metric"], data["hr"],
             use_pallas=use_pallas)
-        jitted = jax.jit(kernel._kernel)
         arrays = kernel._arrays()
         i1 = jnp.asarray(data["i1"])
         i2 = jnp.asarray(data["i2"])
         seg = jnp.asarray(data["seg_of_wav"])
-        # Warm up (compile)
-        out = jitted(arrays, i1, i2, seg)
+
+        # All iterations run inside ONE dispatch (fori_loop), serialized by
+        # a genuine data dependency on the carry (the metric perturbation is
+        # exactly 1.0 in float, so every iteration computes identical
+        # values, but XLA cannot hoist or dedup the work).  This keeps host/
+        # relay dispatch latency out of the measurement and defeats any
+        # caching of repeated identical executions.
+        def chained(arrays, i1, i2, seg, n):
+            (lw, phl, se, sp, fds, fut, p, bg, met, hr) = arrays
+
+            def body(_, acc):
+                met2 = met * (1.0 + acc * 0.0)
+                out = kernel._kernel(
+                    (lw, phl, se, sp, fds, fut, p, bg, met2, hr),
+                    i1, i2, seg)
+                return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+
+            return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, met.dtype))
+
+        jitted = jax.jit(chained)
+        out = jitted(arrays, i1, i2, seg, 1)   # compile + warm
         out.block_until_ready()
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = jitted(arrays, i1, i2, seg)
+        out = jitted(arrays, i1, i2, seg, n_iters)
         out.block_until_ready()
         dt = time.perf_counter() - t0
-    if not np.all(np.isfinite(np.asarray(out))):
+    if not np.isfinite(float(out)):
         raise RuntimeError("benchmark kernel produced non-finite costs")
     return nwav * NLAY * n_iters / dt
 

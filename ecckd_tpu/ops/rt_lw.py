@@ -146,7 +146,8 @@ def rt_lw_bb(planck_hl, spectral_od, grey_od, surf_emissivity, surf_planck):
 
 
 def rt_lw_bb_intervals(planck_hl, bg_od, grey_od_wav,
-                       surf_emissivity, surf_planck, i1, i2):
+                       surf_emissivity, surf_planck, i1, i2,
+                       materialize=None):
     """Per-interval broadband longwave fluxes for batched candidates.
 
     Each wavenumber carries its own grey (fitted) optical depth; the flux
@@ -167,6 +168,44 @@ def rt_lw_bb_intervals(planck_hl, bg_od, grey_od_wav,
     total_od = bg_od + grey_od_wav
     emissivity, factor = _emissivity_factor_bb(total_od)
     trans = 1.0 - emissivity
+
+    # Two execution strategies with identical numerics (the interval
+    # reduction is applied row-by-row with the same tiling either way):
+    #   materialized — the scan emits the spectral flux rows, then ONE
+    #     (nlev+1, nwav)@(nwav, nseg) membership matmul per sweep direction
+    #     reduces them on the MXU.  ~nlay fewer small matmuls and membership
+    #     rebuilds than the in-scan form; costs (nlev+1, nwav) of HBM.
+    #   in-scan — the reference's memory-lean `_bb` shape
+    #     (radiative_transfer_lw.cpp:83-104): reduce each level inside the
+    #     scan, never holding more than one (nwav,) flux row.
+    if materialize is None:
+        materialize = 2 * planck_hl.size * planck_hl.dtype.itemsize < (2 << 30)
+
+    if materialize:
+        def down_step(flux, xs):
+            t, p_top, p_base, f = xs
+            new = flux * t + p_top * (1.0 - t - f) + p_base * f
+            return new, new
+
+        top = jnp.zeros_like(planck_hl[0])
+        flux_surf_spec, dn_rows = jax.lax.scan(
+            down_step, top, (trans, planck_hl[:-1], planck_hl[1:], factor))
+        surf = (surf_planck * surf_emissivity
+                + (1.0 - surf_emissivity) * flux_surf_spec)
+
+        def up_step(flux, xs):
+            t, p_top, p_base, f = xs
+            new = flux * t + p_base * (1.0 - t - f) + p_top * f
+            return new, new
+
+        _, up_rows = jax.lax.scan(
+            up_step, surf, (trans, planck_hl[:-1], planck_hl[1:], factor),
+            reverse=True)
+        flux_dn = interval_sum(
+            jnp.concatenate([top[None], dn_rows], axis=0), i1, i2)
+        flux_up = interval_sum(
+            jnp.concatenate([up_rows, surf[None]], axis=0), i1, i2)
+        return flux_dn, flux_up
 
     def down_step(flux, xs):
         t, p_top, p_base, f = xs

@@ -87,7 +87,7 @@ def rt_norayleigh_sw_bb(cos_sza, ssi, spectral_od, grey_od, albedo):
 
 
 def rt_sw_bb_intervals(cos_sza, ssi, bg_od, grey_od_wav, albedo, i1, i2,
-                       with_upwelling=True):
+                       with_upwelling=True, materialize=None):
     """Per-interval broadband SW fluxes for batched candidate evaluation.
 
     Like :func:`rt_lw.rt_lw_bb_intervals`: each wavenumber carries its own
@@ -101,6 +101,35 @@ def rt_sw_bb_intervals(cos_sza, ssi, bg_od, grey_od_wav, albedo, i1, i2,
     minus_sec = -1.0 / cos_sza
     total_od = bg_od + grey_od_wav
     top = cos_sza * ssi
+
+    # Same two strategies as rt_lw_bb_intervals: materialize the spectral
+    # flux rows and reduce with one big MXU matmul per direction, or reduce
+    # in-scan (the reference's memory-lean shape).  Identical numerics.
+    if materialize is None:
+        nlev1 = total_od.shape[0] + 1
+        materialize = (2 * nlev1 * total_od.shape[-1]
+                       * total_od.dtype.itemsize) < (2 << 30)
+
+    if materialize:
+        def dn_step(flux, od_lay):
+            new = flux * jnp.exp(minus_sec * od_lay)
+            return new, new
+
+        surf_spec, dn_rows = jax.lax.scan(dn_step, top, total_od)
+        flux_dn = interval_sum(
+            jnp.concatenate([top[None], dn_rows], axis=0), i1, i2)
+        if not with_upwelling:
+            return flux_dn, jnp.zeros_like(flux_dn)
+        up_surf = surf_spec * albedo
+
+        def up_step(flux, od_lay):
+            new = flux * jnp.exp(-SW_DIFFUSE_SECANT * od_lay)
+            return new, new
+
+        _, up_rows = jax.lax.scan(up_step, up_surf, total_od, reverse=True)
+        flux_up = interval_sum(
+            jnp.concatenate([up_rows, up_surf[None]], axis=0), i1, i2)
+        return flux_dn, flux_up
 
     def dn_step(flux, od_lay):
         new = flux * jnp.exp(minus_sec * od_lay)

@@ -165,6 +165,27 @@ class TestRtLw:
             np.testing.assert_allclose(np.asarray(fu)[:, k],
                                        np.asarray(fu_k), rtol=1e-9)
 
+    def test_interval_strategies_identical(self):
+        """The materialized (one big membership matmul per direction) and
+        in-scan (memory-lean `_bb`) strategies must agree to rounding:
+        same recurrence and tiling; the backend may order intra-tile
+        matmul accumulation differently for matrix vs vector operands."""
+        nwav = self.od.shape[1]
+        i1 = np.array([0, 10, 20], np.int32)
+        i2 = np.array([9, 19, nwav - 1], np.int32)
+        seg = np.repeat([0, 1, 2], [10, 10, nwav - 20]).astype(np.int32)
+        grey_wav = np.abs(np.random.default_rng(1).normal(
+            0.1, 0.05, (self.od.shape[0], 3)))[:, seg]
+        out_m = rt_lw_bb_intervals(self.planck_hl, self.od, grey_wav,
+                                   self.emis, self.surf_planck, i1, i2,
+                                   materialize=True)
+        out_s = rt_lw_bb_intervals(self.planck_hl, self.od, grey_wav,
+                                   self.emis, self.surf_planck, i1, i2,
+                                   materialize=False)
+        for a, b in zip(out_m, out_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
+
     def test_gradient_flows(self):
         def loss(od):
             fd, fu = rt_lw(self.planck_hl, od, self.emis, self.surf_planck)
@@ -229,6 +250,21 @@ class TestRtSw:
                                        rtol=1e-9)
             np.testing.assert_allclose(np.asarray(fu)[:, k], np.asarray(fuk),
                                        rtol=1e-9)
+
+    def test_interval_strategies_identical(self):
+        nlay, nwav = self.od.shape
+        i1 = np.array([0, 16], np.int32)
+        i2 = np.array([15, nwav - 1], np.int32)
+        seg = np.repeat([0, 1], [16, nwav - 16]).astype(np.int32)
+        grey = np.abs(np.random.default_rng(2).normal(
+            0.02, 0.01, (nlay, 2)))[:, seg]
+        out_m = rt_sw_bb_intervals(0.5, self.ssi, self.od, grey, 0.3,
+                                   i1, i2, materialize=True)
+        out_s = rt_sw_bb_intervals(0.5, self.ssi, self.od, grey, 0.3,
+                                   i1, i2, materialize=False)
+        for a, b in zip(out_m, out_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
 
 
 class TestIntervalSum:
