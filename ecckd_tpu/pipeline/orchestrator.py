@@ -25,6 +25,7 @@ from typing import Callable, Dict, List, Optional
 from .. import logs
 from ..config import Config
 from ..tools.common import tool_prologue, read_string_list
+from . import presets
 
 
 class Step:
@@ -88,6 +89,33 @@ def build_pipeline(cfg: Config) -> Pipeline:
     tolerance = cfg.read_float("tolerance", default=0.04)
     force = cfg.read_bool("force", default=False)
     ssi = cfg.read_string("ssi", default=None)
+
+    # ---- L4 presets: expand application/band-structure names into the
+    # concrete settings the step scripts hardwire (test/config.h:138-168,
+    # test/check_configuration.h:36-57, find_g_points_*.sh tweaks).
+    # Explicit user keys always win; unknown application names (ad-hoc
+    # experiments) skip preset expansion entirely.
+    if app in presets.APPLICATIONS:
+        settings = presets.check_configuration(mode, app, band, tolerance)
+        if not cfg.exist("min_pressure"):
+            cfg.set("min_pressure", str(settings["min_pressure"]))
+        wn1, wn2 = settings["wavenumber1"], settings["wavenumber2"]
+        if wn1 and not cfg.exist("wavenumber1"):
+            cfg.set("wavenumber1", " ".join(str(v) for v in wn1))
+            cfg.set("wavenumber2", " ".join(str(v) for v in wn2))
+        for gas, opts in settings["gas_options"].items():
+            if gas in gases:
+                for key, val in opts.items():
+                    if not cfg.exist(f"{gas}.{key}"):
+                        cfg.set(f"{gas}.{key}", val)
+    else:
+        band_table = (presets.LW_BAND_STRUCTURES if mode == "lw"
+                      else presets.SW_BAND_STRUCTURES)
+        if band in band_table and not cfg.exist("wavenumber1"):
+            wn1, wn2 = presets.band_boundaries(mode, band)
+            if wn1:
+                cfg.set("wavenumber1", " ".join(str(v) for v in wn1))
+                cfg.set("wavenumber2", " ".join(str(v) for v in wn2))
 
     os.makedirs(work_dir, exist_ok=True)
 
