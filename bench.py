@@ -128,6 +128,31 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     return nwav * NLAY * n_iters / dt
 
 
+def run_native_baseline(nwav, n_iters):
+    """All-cores OpenMP C++ throughput of the identical sweep computation
+    (csrc/sweep_baseline.cpp) — the measured stand-in for the reference's
+    OpenMP hot loop (Equipartition::calc_error_all). Returns
+    bins*layers/s or None if the native library is unavailable."""
+    from ecckd_tpu.partition import native_baseline
+
+    if not native_baseline.available():
+        return None
+    data = build_inputs(NLAY, nwav, NSEG, np.float32)
+    args = (data["layer_weight"], data["pressure_hl"],
+            data["surf_emissivity"], data["surf_planck"],
+            data["flux_dn_surf"], data["flux_up_toa"], data["planck_hl"],
+            data["bg_od"], data["metric"], data["hr"],
+            data["i1"], data["i2"], 0.02)
+    native_baseline.sweep_lw_cost_transmission(*args)  # warm (thread pool)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = native_baseline.sweep_lw_cost_transmission(*args)
+    dt = time.perf_counter() - t0
+    if not np.all(np.isfinite(out)):
+        raise RuntimeError("native baseline produced non-finite costs")
+    return nwav * NLAY * n_iters / dt
+
+
 def build_train_step(ng=64, nt=6, npress=53, ncol=48, nlay=50,
                      dtype=np.float32):
     """One optimize_lut training iteration (cost + gradient of the log-LUT
@@ -232,11 +257,16 @@ def main():
 
     throughput = run_bench(accel, NWAV, N_ITERS, np.float32)
 
+    # Baseline preference: the native OpenMP C++ implementation of the
+    # same computation (reference-style candidate parallelism, all host
+    # cores); fall back to the JAX kernel on host CPU.
     vs_baseline = 1.0
     try:
-        cpu = jax.devices("cpu")[0]
-        cpu_throughput = run_bench(cpu, CPU_NWAV, CPU_ITERS, np.float32,
-                                   use_pallas=False)
+        cpu_throughput = run_native_baseline(CPU_NWAV, CPU_ITERS)
+        if cpu_throughput is None:
+            cpu = jax.devices("cpu")[0]
+            cpu_throughput = run_bench(cpu, CPU_NWAV, CPU_ITERS,
+                                       np.float32, use_pallas=False)
         vs_baseline = throughput / cpu_throughput
     except Exception:
         pass
