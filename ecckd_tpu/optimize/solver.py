@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -124,8 +125,44 @@ def _shard_scene_profiles(scene):
     return type(scene)(**out)
 
 
+def _save_checkpoint(path: str, tree, n_iter: int, cost: float):
+    """Atomically write optimizer state (the log-LUT pytree + iteration
+    count). SURVEY.md §5: the reference has no intra-optimization
+    checkpointing (an L-BFGS run is atomic); here long runs can resume."""
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, _n_iter=np.int64(n_iter), _cost=np.float64(cost),
+                 **{f"state_{k}": np.asarray(v) for k, v in tree.items()})
+    os.replace(tmp, path)
+
+
+def _remove_checkpoint(path: str):
+    """Drop a completed run's checkpoint so a forced rerun starts clean."""
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
+def _load_checkpoint(path: str, expect_tree):
+    """Load a checkpoint if present and shape-compatible, else None."""
+    if not path or not os.path.exists(path):
+        return None
+    with np.load(path) as ck:
+        tree = {k[len("state_"):]: np.asarray(ck[k]) for k in ck.files
+                if k.startswith("state_")}
+        n_iter = int(ck["_n_iter"])
+    if set(tree) != set(expect_tree) or any(
+            tree[k].shape != np.asarray(expect_tree[k]).shape
+            for k in tree):
+        logs.warning(f"Checkpoint {path} does not match the state layout; "
+                     "ignoring it")
+        return None
+    return tree, n_iter
+
+
 def _solve_on_device(total_cost, x0_tree, lo_tree, hi_tree, sentinel_tree,
-                     max_iterations, gtol, chunk=100):
+                     max_iterations, gtol, chunk=100, on_chunk=None):
     """Fully on-device L-BFGS: the whole minimization loop (two-loop
     recursion + zoom line search via optax.lbfgs) runs inside jitted
     ``lax.while_loop`` chunks, so a dispatch covers ``chunk`` iterations
@@ -200,6 +237,9 @@ def _solve_on_device(total_cost, x0_tree, lo_tree, hi_tree, sentinel_tree,
         new_it = int(it_dev)
         logs.log(f"Iteration {new_it}: cost = {float(value):.6g}, "
                  f"gradient norm = {float(gnorm):.6g}")
+        if on_chunk is not None:
+            on_chunk({k: np.asarray(v) for k, v in params.items()},
+                     new_it, float(value))
         if new_it < limit or not np.isfinite(float(value)):
             break   # converged (or failed) inside the chunk
         it = new_it
@@ -226,7 +266,8 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
           convergence_criterion=0.02, negative_od_penalty=1.0e4,
           pressure_weight_power=0.5, is_bounded=True,
           relative_fluxes=None, data_parallel=False,
-          solver="scipy") -> SolveResult:
+          solver="scipy", checkpoint_file=None,
+          checkpoint_every=0) -> SolveResult:
     """Optimize the active gases' LUTs against LBL training fluxes.
 
     ``training_data`` is a list of LblFluxes; the model is updated in place.
@@ -270,7 +311,22 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     prior_cost = make_prior_fn(model)
 
     x0_tree = log_state_tree(model)
+    # The prior background is the model state as read from the input file,
+    # NOT a resumed checkpoint state (ckd_model.cpp:838-877 semantics).
     prior_tree = {k: v.copy() for k, v in x0_tree.items()}
+
+    # Resume a long optimization from its periodic state checkpoint.
+    it_offset = 0
+    if checkpoint_file:
+        resumed = _load_checkpoint(checkpoint_file, x0_tree)
+        if resumed is not None:
+            x0_tree, it_offset = resumed
+            logs.log(f"Resuming optimization from {checkpoint_file} "
+                     f"(iteration {it_offset})")
+
+    def _maybe_checkpoint(tree, n_iter, cost):
+        if checkpoint_file and checkpoint_every > 0:
+            _save_checkpoint(checkpoint_file, tree, n_iter, cost)
 
     def total_cost(tree):
         return data_cost(tree) + prior_cost(tree, prior_tree)
@@ -288,7 +344,10 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
         t0 = time.perf_counter()
         tree_final, cost, n_iter_dev, gnorm = _solve_on_device(
             total_cost, x0_tree, lo_tree, hi_tree, sentinel_tree,
-            max_iterations, convergence_criterion)
+            max_iterations, convergence_criterion,
+            on_chunk=lambda tree, it, c: _maybe_checkpoint(
+                tree, it + it_offset, c))
+        n_iter_dev += it_offset
         wall = time.perf_counter() - t0
         k_tree = {mol: np.where(v > MIN_X, np.exp(v), 0.0)
                   for mol, v in tree_final.items()}
@@ -304,6 +363,8 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
         logs.log(f"Final cost function = {cost:.6g} after {n_iter_dev} "
                  f"iterations, {wall:.1f} s "
                  f"({wall / max(n_iter_dev, 1):.4f} s/iter)")
+        if status == MinimizerStatus.SUCCESS and checkpoint_file:
+            _remove_checkpoint(checkpoint_file)
         return SolveResult(
             status=status, cost=cost, n_iterations=n_iter_dev,
             n_evaluations=n_iter_dev, gradient_norm=gnorm, wall_time=wall,
@@ -345,6 +406,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
 
     n_eval = [0]
     last_grad_norm = [np.inf]
+    last_val = [np.inf]
     t0 = time.perf_counter()
     # Named-activity breakdown matching the reference's Timer split
     # (solve_adept.cpp:214-231): device cost+gradient vs host minimizer
@@ -363,6 +425,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
         grad_flat[np.abs(grad_flat) < 1.0e-80] = 0.0
         n_eval[0] += 1
         last_grad_norm[0] = np.abs(grad_flat).max()
+        last_val[0] = float(val)
         return float(val), grad_flat
 
     n_iter = [0]
@@ -372,6 +435,11 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
         if n_iter[0] % 10 == 1 or n_iter[0] < 5:
             logs.log(f"Iteration {n_iter[0]}: gradient norm = "
                      f"{last_grad_norm[0]:.6g}")
+        if (checkpoint_file and checkpoint_every > 0
+                and n_iter[0] % checkpoint_every == 0):
+            tree = unravel(jnp.asarray(x_flat))
+            _maybe_checkpoint({k: np.asarray(v) for k, v in tree.items()},
+                              n_iter[0] + it_offset, last_val[0])
 
     result = minimize(
         fun, x0_flat, jac=True, method="L-BFGS-B", bounds=bounds,
@@ -402,8 +470,11 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
              f"iterations, {n_eval[0]} evaluations, {wall:.1f} s "
              f"({wall / max(result.nit, 1):.3f} s/iter)")
     logs.log(timer.report())
+    if status == MinimizerStatus.SUCCESS and checkpoint_file:
+        _remove_checkpoint(checkpoint_file)
     return SolveResult(
-        status=status, cost=float(result.fun), n_iterations=int(result.nit),
+        status=status, cost=float(result.fun),
+        n_iterations=int(result.nit) + it_offset,
         n_evaluations=n_eval[0], gradient_norm=float(last_grad_norm[0]),
         wall_time=wall,
         seconds_per_iteration=wall / max(int(result.nit), 1))
