@@ -288,6 +288,35 @@ def build_pipeline(cfg: Config) -> Pipeline:
                 evaluate_ckd(inherit_globals(sub))
             pipe.add(f"evaluate_{i}", [stats_out], run_stats)
 
+            # ---- evaluation figures (the reference's Matlab plot/ layer
+            # as a pipeline stage; enabled with plots=1) ----
+            if cfg.read_bool("plots", default=False):
+                fig_out = path(f"{mode}_evaluation_{model_code}_{i}.png")
+
+                def run_plot(ref=lbl_refs[i], flux=out, fout=fig_out):
+                    from ..tools.plot_ckd import plot_ckd
+                    sub = Config()
+                    sub.set("plot", "evaluation")
+                    sub.set("ref_fluxes", ref)
+                    sub.set("ckd_fluxes", flux)
+                    sub.set("band", mode)
+                    sub.set("title", model_code)
+                    sub.set("output", fout)
+                    plot_ckd(inherit_globals(sub))
+                pipe.add(f"plot_{i}", [fig_out], run_plot)
+
+    if cfg.read_bool("plots", default=False):
+        gp_fig = path(f"{mode}_gpoints_{model_code}.png")
+
+        def run_gp_plot():
+            from ..tools.plot_ckd import plot_ckd
+            sub = Config()
+            sub.set("plot", "gpoints")
+            sub.set("input", gpoint_file)
+            sub.set("output", gp_fig)
+            plot_ckd(inherit_globals(sub))
+        pipe.add("plot_gpoints", [gp_fig], run_gp_plot)
+
     return pipe
 
 

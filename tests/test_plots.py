@@ -162,6 +162,29 @@ class TestPlotCkdTool:
         with pytest.raises(ValueError, match="not understood"):
             plot_ckd(Config({"plot": "pie", "output": "x.png"}))
 
+    def test_orchestrator_plots_stage(self, tmp_path):
+        """plots=1 adds figure stages to the workflow pipeline."""
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from synth import synth_spectrum_file
+        from ecckd_tpu.pipeline.orchestrator import build_pipeline
+        h2o = synth_spectrum_file(str(tmp_path / "h2o.h5"),
+                                  molecule="h2o", nwav=256, ncol=6, seed=3)
+        work = str(tmp_path / "work")
+        cfg = Config({
+            "mode": "lw", "work_dir": work, "application": "test",
+            "band_structure": "fsck", "tolerance": "0.3", "gases": "h2o",
+            "plots": "1", "averaging_method": "transmission",
+            "h2o.input": h2o, "h2o.conc_dependence": "linear",
+        })
+        pipe = build_pipeline(cfg)
+        names = [s.name for s in pipe.steps]
+        assert "plot_gpoints" in names
+        pipe.steps = [s for s in pipe.steps if s.name in
+                      ("reorder_h2o", "find_g_points", "plot_gpoints")]
+        pipe.run()
+        _check_png(os.path.join(work, "lw_gpoints_lw_test_fsck.png"))
+
     def test_cli_missing_ngpoints(self, tmp_path):
         sfile = str(tmp_path / "bad.json")
         with open(sfile, "w") as f:
