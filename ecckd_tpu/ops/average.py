@@ -72,18 +72,24 @@ def fit_optical_depth_lw(averaging_method, planck_hl, metric, i1, i2):
       (nlay, nseg) fitted optical depth per layer and interval.
     """
     w_num = planck_hl[1:]   # weights at layer base (ref :61-63)
+    nlay = metric.shape[0]
+
+    def weighted_mean():
+        # Numerator and denominator stacked into ONE interval reduction:
+        # each reduction matmul costs a full K=nwav MXU pass regardless of
+        # row count, so stacking halves the sweep's reduction passes.
+        sums = interval_sum(jnp.concatenate([metric * w_num, w_num], axis=0),
+                            i1, i2)
+        return sums[:nlay] / sums[nlay:]
+
     if averaging_method == "linear":
-        return (interval_sum(metric * w_num, i1, i2)
-                / interval_sum(w_num, i1, i2))
+        return weighted_mean()
     if averaging_method in ("transmission", "transmission-2"):
         scale = _METHOD_SCALE[averaging_method]
-        mean = jnp.minimum(
-            _trans_clamp(metric.dtype),
-            interval_sum(metric * w_num, i1, i2) / interval_sum(w_num, i1, i2))
+        mean = jnp.minimum(_trans_clamp(metric.dtype), weighted_mean())
         return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
     if averaging_method == "square-root":
-        fit = (interval_sum(metric * w_num, i1, i2)
-               / interval_sum(w_num, i1, i2))
+        fit = weighted_mean()
         return fit * fit
     if averaging_method == "logarithmic":
         return _log_fit(metric, w_num, planck_hl[:-1], i1, i2)
@@ -95,18 +101,26 @@ def fit_optical_depth_sw(averaging_method, ssi, metric, i1, i2):
 
     Ref fit_optical_depth_sw (find_g_points.cpp:113-168).
     """
-    wsum = interval_sum(jnp.broadcast_to(ssi, metric.shape[-1:]), i1, i2)
-    norm = 1.0 / wsum
+    nlay = metric.shape[0]
+    if averaging_method in ("linear", "transmission", "transmission-2",
+                            "square-root"):
+        # SSI row stacked with the weighted metric: one reduction pass
+        sums = interval_sum(
+            jnp.concatenate(
+                [metric * ssi,
+                 jnp.broadcast_to(ssi, metric.shape[-1:])[None, :]],
+                axis=0), i1, i2)
+        wsum_m, wsum = sums[:nlay], sums[nlay]
+        norm = 1.0 / wsum
     if averaging_method == "linear":
-        return interval_sum(metric * ssi, i1, i2) * norm
+        return wsum_m * norm
     if averaging_method in ("transmission", "transmission-2"):
         scale = _METHOD_SCALE[averaging_method]
         # NOTE: clamp applied before normalization, as in the reference
-        mean = jnp.minimum(_trans_clamp(metric.dtype),
-                           interval_sum(metric * ssi, i1, i2)) * norm
+        mean = jnp.minimum(_trans_clamp(metric.dtype), wsum_m) * norm
         return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
     if averaging_method == "square-root":
-        fit = interval_sum(metric * ssi, i1, i2) * norm
+        fit = wsum_m * norm
         return fit * fit
     if averaging_method in ("logarithmic", "total-transmission"):
         ssi2d = jnp.broadcast_to(ssi, metric.shape)

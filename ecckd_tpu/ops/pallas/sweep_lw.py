@@ -30,10 +30,36 @@ import numpy as np
 
 from ...constants import LW_DIFFUSIVITY
 
-TILE = 1024
+# Wavenumber tile width. VMEM holds ~2 MB of per-tile state per 1024
+# lanes (bg_od/planck blocks + recurrence temporaries), so 2048 fits
+# comfortably in the ~16 MB budget while (a) amortizing the serial
+# dependency latency of the 2*nlay-step recurrence chain over 16 vregs
+# per step instead of 8 and (b) doubling the K dimension of the interval
+# reduction matmuls. Override with ECCKD_SWEEP_TILE (bench tuning).
+import os as _os
+TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 2048))
 
 
-def _sweep_kernel(nlay: int, nseg: int,
+def _split_dot(a, b01):
+    """f32 matmul against an exact-0/1 matrix in TWO bf16 MXU passes.
+
+    Mosaic lowers f32 dots only at DEFAULT (one bf16 pass, ~2^-8 relative
+    error) or HIGHEST (six passes); HIGH is unsupported. Because ``b01``
+    contains only 0.0/1.0 (exact in bf16), splitting ``a`` into
+    hi = bf16(a) and lo = bf16(a - hi) makes every product exact, so the
+    only error left is the two-term truncation (~2^-16 relative) and the
+    f32 accumulation — 3x cheaper than HIGHEST at equivalent fidelity for
+    this kernel's 1e-4-tolerance costs.
+    """
+    bf = jnp.bfloat16
+    a_hi = a.astype(bf)
+    a_lo = (a - a_hi.astype(a.dtype)).astype(bf)
+    b_bf = b01.astype(bf)
+    return (jnp.dot(a_hi, b_bf, preferred_element_type=a.dtype)
+            + jnp.dot(a_lo, b_bf, preferred_element_type=a.dtype))
+
+
+def _sweep_kernel(nlay: int, nseg: int, tile: int,
                   i1_ref, i2_ref, seg_ref, od_fit_ref, planck_ref,
                   bgod_ref, emis_ref, surfp_ref, fd_ref, fu_ref):
     from jax.experimental import pallas as pl
@@ -45,22 +71,20 @@ def _sweep_kernel(nlay: int, nseg: int,
         fd_ref[:, :] = jnp.zeros_like(fd_ref)
         fu_ref[:, :] = jnp.zeros_like(fu_ref)
 
-    base = t * TILE
-    seg = seg_ref[0, :]                                   # (TILE,)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 1)
+    base = t * tile
+    seg = seg_ref[0, :]                                   # (tile,)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 1)
     # Partition one-hot: which interval's fitted od each wavenumber carries
-    part = (seg[:, None] == col).astype(od_fit_ref.dtype)  # (TILE, nseg)
+    part = (seg[:, None] == col).astype(od_fit_ref.dtype)  # (tile, nseg)
     # Membership: which intervals each wavenumber's flux contributes to
     # (may overlap at shared boundary indices, matching the reference's
     # ceil/floor index mapping)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 0) + base
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0) + base
     member = ((idx >= i1_ref[0, :][None, :])
               & (idx <= i2_ref[0, :][None, :])).astype(od_fit_ref.dtype)
 
     od_fit = od_fit_ref[:, :]                             # (nlay, nseg)
-    grey = jnp.dot(od_fit, part.T,
-                   preferred_element_type=od_fit.dtype,
-                   precision=jax.lax.Precision.HIGHEST)  # (nlay, TILE)
+    grey = _split_dot(od_fit, part.T)                     # (nlay, tile)
     od = bgod_ref[:, :] + grey
     te = 1.0e-5
     # expm1 is not lowerable in Pallas TPU; plain exp is fine in f32
@@ -73,23 +97,22 @@ def _sweep_kernel(nlay: int, nseg: int,
     trans = 1.0 - emissivity
     coeff_top = emissivity - factor
 
-    planck = planck_ref[:, :]                             # (nlev+1, TILE)
+    planck = planck_ref[:, :]                             # (nlev+1, tile)
 
     # Static unroll over layers (nlay ~ 50): Pallas TPU cannot lower
-    # dynamic_slice of computed values.  The per-level flux rows are
-    # stacked into ONE (nlev+1, TILE) matrix per sweep direction so the
-    # interval reduction is a single well-shaped MXU matmul — per-level
-    # M=1 matmuls waste >100x of the systolic array.
-    flux = jnp.zeros((TILE,), od.dtype)
+    # dynamic_slice of computed values.  The per-level flux rows of BOTH
+    # sweep directions are stacked into ONE (2*(nlev+1), tile) matrix so
+    # the interval reduction is a single MXU matmul with M=2*(nlev+1)
+    # (~102, nearly a full 128-row MXU tile) — per-level M=1 matmuls
+    # waste >100x of the systolic array, and separate per-direction
+    # matmuls (M=51) waste half.
+    flux = jnp.zeros((tile,), od.dtype)
     dn_rows = [flux]                     # level 0: no downwelling at TOA
     for lay in range(nlay):
         flux = (flux * trans[lay]
                 + planck[lay] * coeff_top[lay]
                 + planck[lay + 1] * factor[lay])
         dn_rows.append(flux)
-    fd_ref[:, :] += jnp.dot(
-        jnp.stack(dn_rows), member, preferred_element_type=flux.dtype,
-        precision=jax.lax.Precision.HIGHEST)
 
     emis = emis_ref[0, :]
     flux = surfp_ref[0, :] * emis + (1.0 - emis) * flux
@@ -100,9 +123,11 @@ def _sweep_kernel(nlay: int, nseg: int,
                 + planck[lay + 1] * coeff_top[lay]
                 + planck[lay] * factor[lay])
         up_rows[lay] = flux
-    fu_ref[:, :] += jnp.dot(
-        jnp.stack(up_rows), member, preferred_element_type=flux.dtype,
-        precision=jax.lax.Precision.HIGHEST)
+
+    both = _split_dot(jnp.stack(dn_rows + up_rows),
+                      member)                 # (2*(nlev+1), nseg)
+    fd_ref[:, :] += both[: nlay + 1]
+    fu_ref[:, :] += both[nlay + 1:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -128,8 +153,9 @@ def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
     nseg = i1.shape[0]
     dtype = planck_hl.dtype
 
-    ntile = -(-nwav // TILE)
-    pad = ntile * TILE - nwav
+    tile = min(TILE, max(256, 1 << (nwav - 1).bit_length()))
+    ntile = -(-nwav // tile)
+    pad = ntile * tile - nwav
     if pad:
         planck_hl = jnp.pad(planck_hl, ((0, 0), (0, pad)))
         bg_od = jnp.pad(bg_od, ((0, 0), (0, pad)))
@@ -139,7 +165,7 @@ def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
     grid = (ntile,)
-    kernel = functools.partial(_sweep_kernel, nlay, nseg)
+    kernel = functools.partial(_sweep_kernel, nlay, nseg, tile)
     out_shape = [jax.ShapeDtypeStruct((nlev1, nseg), dtype),
                  jax.ShapeDtypeStruct((nlev1, nseg), dtype)]
     whole = lambda i: (0, 0)
@@ -151,17 +177,17 @@ def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
                          memory_space=pltpu.VMEM),       # i1
             pl.BlockSpec((1, nseg), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),       # i2
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # seg_of_wav
             pl.BlockSpec((nlay, nseg), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),       # od_fit
-            pl.BlockSpec((nlev1, TILE), lambda i: (0, i),
+            pl.BlockSpec((nlev1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # planck
-            pl.BlockSpec((nlay, TILE), lambda i: (0, i),
+            pl.BlockSpec((nlay, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # bg_od
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # emis
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),       # surf planck
         ],
         out_specs=[

@@ -9,18 +9,22 @@ per-interval membership matmuls on the MXU.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 
 from ...constants import SW_DIFFUSE_SECANT
 
-TILE = 1024
-_HI = jax.lax.Precision.HIGHEST
+# See sweep_lw.TILE: 2048 amortizes the serial recurrence latency and
+# doubles the reduction matmul's K while staying well inside VMEM.
+TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 2048))
+
+from .sweep_lw import _split_dot  # two-pass bf16 split dot (0/1 operand)
 
 
-def _sweep_kernel(nlay: int, nseg: int, cos_sza: float, albedo: float,
-                  with_up: bool,
+def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
+                  albedo: float, with_up: bool,
                   i1_ref, i2_ref, seg_ref, od_fit_ref, ssi_ref,
                   bgod_ref, fd_ref, fu_ref):
     from jax.experimental import pallas as pl
@@ -32,32 +36,29 @@ def _sweep_kernel(nlay: int, nseg: int, cos_sza: float, albedo: float,
         fd_ref[:, :] = jnp.zeros_like(fd_ref)
         fu_ref[:, :] = jnp.zeros_like(fu_ref)
 
-    base = t * TILE
+    base = t * tile
     seg = seg_ref[0, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 1)
     part = (seg[:, None] == col).astype(od_fit_ref.dtype)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, nseg), 0) + base
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0) + base
     member = ((idx >= i1_ref[0, :][None, :])
               & (idx <= i2_ref[0, :][None, :])).astype(od_fit_ref.dtype)
 
     od_fit = od_fit_ref[:, :]
-    grey = jnp.dot(od_fit, part.T, preferred_element_type=od_fit.dtype,
-                   precision=_HI)
+    grey = _split_dot(od_fit, part.T)
     od = bgod_ref[:, :] + grey
     minus_sec = -1.0 / cos_sza
 
-    # Per-level flux rows stacked into one (nlev+1, TILE) matrix so the
-    # interval reduction is a single well-shaped MXU matmul per sweep
-    # direction (per-level M=1 matmuls waste >100x of the systolic array)
+    # Per-level flux rows of BOTH sweep directions stacked into one
+    # (2*(nlev+1), tile) matrix so the interval reduction is a single MXU
+    # matmul with M ~ 102 (per-level M=1 matmuls waste >100x of the
+    # systolic array; separate per-direction M=51 matmuls waste half).
     trans_dn = jnp.exp(minus_sec * od)
     flux = cos_sza * ssi_ref[0, :]
     dn_rows = [flux]
     for lay in range(nlay):
         flux = flux * trans_dn[lay]
         dn_rows.append(flux)
-    fd_ref[:, :] += jnp.dot(jnp.stack(dn_rows), member,
-                            preferred_element_type=flux.dtype,
-                            precision=_HI)
 
     if with_up:
         trans_up = jnp.exp(-SW_DIFFUSE_SECANT * od)
@@ -67,9 +68,11 @@ def _sweep_kernel(nlay: int, nseg: int, cos_sza: float, albedo: float,
         for lay in range(nlay - 1, -1, -1):
             flux = flux * trans_up[lay]
             up_rows[lay] = flux
-        fu_ref[:, :] += jnp.dot(jnp.stack(up_rows), member,
-                                preferred_element_type=flux.dtype,
-                                precision=_HI)
+        both = _split_dot(jnp.stack(dn_rows + up_rows), member)
+        fd_ref[:, :] += both[: nlay + 1]
+        fu_ref[:, :] += both[nlay + 1:]
+    else:
+        fd_ref[:, :] += _split_dot(jnp.stack(dn_rows), member)
 
 
 @functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
@@ -94,15 +97,17 @@ def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
     nseg = i1.shape[0]
     dtype = bg_od.dtype
 
-    ntile = -(-nwav // TILE)
-    pad = ntile * TILE - nwav
+    tile = min(TILE, max(256, 1 << (nwav - 1).bit_length()))
+    ntile = -(-nwav // tile)
+    pad = ntile * tile - nwav
     if pad:
         ssi = jnp.pad(ssi, (0, pad))
         bg_od = jnp.pad(bg_od, ((0, 0), (0, pad)))
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
-    kernel = functools.partial(_sweep_kernel, nlay, nseg, float(cos_sza),
-                               float(albedo), bool(with_upwelling))
+    kernel = functools.partial(_sweep_kernel, nlay, nseg, tile,
+                               float(cos_sza), float(albedo),
+                               bool(with_upwelling))
     whole = lambda i: (0, 0)
     fd, fu = pl.pallas_call(
         kernel,
@@ -110,12 +115,12 @@ def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
         in_specs=[
             pl.BlockSpec((1, nseg), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nseg), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nlay, nseg), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, TILE), lambda i: (0, i),
+            pl.BlockSpec((nlay, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -114,9 +114,15 @@ class CandidateCostLw:
             grey = jnp.take(od_fit, seg_of_wav, axis=1)
             flux_dn, flux_up = rt_lw_bb_intervals(
                 planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
-        hr_true = interval_sum(hr, i1, i2)
-        fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
-        fu_toa_true = interval_sum(flux_up_toa, i1, i2)
+        # All three truth reductions in one matmul pass (each reduction
+        # costs a full K=nwav MXU pass regardless of row count)
+        nlay = hr.shape[0]
+        truth = interval_sum(
+            jnp.concatenate([hr, flux_dn_surf[None, :],
+                             flux_up_toa[None, :]], axis=0), i1, i2)
+        hr_true = truth[:nlay]
+        fd_surf_true = truth[nlay]
+        fu_toa_true = truth[nlay + 1]
         return _candidate_cost_from_fluxes(
             pressure_hl, layer_weight, self.flux_weight,
             flux_dn, flux_up, hr_true, fd_surf_true, fu_toa_true)
@@ -194,9 +200,13 @@ class CandidateCostSw:
             flux_dn, flux_up = rt_sw_bb_intervals(
                 self.cos_sza, ssi, bg_od, grey,
                 self.surf_albedo, i1, i2, with_upwelling=with_up)
-        hr_true = interval_sum(hr, i1, i2)
-        fd_surf_true = interval_sum(flux_dn_surf, i1, i2)
-        fu_toa_true = interval_sum(flux_up_toa, i1, i2)
+        nlay = hr.shape[0]
+        truth = interval_sum(
+            jnp.concatenate([hr, flux_dn_surf[None, :],
+                             flux_up_toa[None, :]], axis=0), i1, i2)
+        hr_true = truth[:nlay]
+        fd_surf_true = truth[nlay]
+        fu_toa_true = truth[nlay + 1]
         # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
         hr_fit = heating_rate(pressure_hl, flux_dn)
         hr_err = hr_fit - hr_true
