@@ -99,16 +99,18 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
         seg = jnp.asarray(data["seg_of_wav"])
 
         # All iterations run inside ONE dispatch (fori_loop), serialized by
-        # a genuine data dependency on the carry (the metric perturbation is
-        # exactly 1.0 in float, so every iteration computes identical
-        # values, but XLA cannot hoist or dedup the work).  This keeps host/
+        # a genuine data dependency on the carry: the metric is perturbed
+        # ADDITIVELY by acc scaled so far down that the product underflows
+        # to zero at runtime (values stay bit-identical) yet cannot be
+        # constant-folded or hoisted — multiplicative (1 + acc*0) patterns
+        # are simplified away by XLA for pure-XLA stages.  This keeps host/
         # relay dispatch latency out of the measurement and defeats any
         # caching of repeated identical executions.
         def chained(arrays, i1, i2, seg, n):
             (lw, phl, se, sp, fds, fut, p, bg, met, hr) = arrays
 
             def body(_, acc):
-                met2 = met * (1.0 + acc * 0.0)
+                met2 = met + acc * jnp.asarray(1e-45, met.dtype)
                 out = kernel._kernel(
                     (lw, phl, se, sp, fds, fut, p, bg, met2, hr),
                     i1, i2, seg)

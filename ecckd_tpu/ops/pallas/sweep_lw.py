@@ -50,7 +50,15 @@ def _split_dot(a, b01):
     only error left is the two-term truncation (~2^-16 relative) and the
     f32 accumulation — 3x cheaper than HIGHEST at equivalent fidelity for
     this kernel's 1e-4-tolerance costs.
+
+    float64 inputs (interpret mode on the determinism-sensitive CPU path)
+    bypass the split entirely: a two-term bf16 split would silently drop
+    ~40 bits, so use a plain HIGHEST-precision dot instead.
     """
+    if a.dtype == jnp.float64:
+        return jnp.dot(a, b01.astype(a.dtype),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=a.dtype)
     bf = jnp.bfloat16
     a_hi = a.astype(bf)
     a_lo = (a - a_hi.astype(a.dtype)).astype(bf)

@@ -52,6 +52,7 @@ class SceneMeta:
     band_onehot: np.ndarray       # (ng, nband)
     with_upwelling: bool = True   # SW only
     spectral_boundary_weights: Optional[np.ndarray] = None   # SW (ng,)
+    profile_weight: Optional[np.ndarray] = None   # (ncol,), 0 = padding
 
 
 def _exp_state(log_table):
@@ -261,6 +262,10 @@ def make_cost_fn(model, scenes, weights, negative_od_penalty=1.0e4):
 
             per_profile = jax.vmap(wrapper, in_axes=tuple(in_axes))(
                 *safe_args)
+            if meta.profile_weight is not None:
+                # Zero-weight profiles are device-padding copies
+                # (_shard_scene_profiles); they run but contribute nothing.
+                per_profile = per_profile * jnp.asarray(meta.profile_weight)
             total = total + jnp.sum(per_profile)
         return total
 

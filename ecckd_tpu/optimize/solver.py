@@ -94,10 +94,16 @@ def state_bounds(model) -> (Dict[str, np.ndarray], Dict[str, np.ndarray]):
     return x_min_tree, x_max_tree
 
 
-def _shard_scene_profiles(scene):
-    """Shard every per-profile array of a scene across all devices (pads the
-    profile axis to a device multiple by repeating the last profile with
-    zero weight would bias sums, so instead requires divisibility)."""
+def _shard_scene_profiles(scene, meta):
+    """Shard every per-profile array of a scene across ALL devices.
+
+    A non-divisible profile count is padded to the device multiple by
+    repeating the last profile; padded copies carry zero
+    ``meta.profile_weight`` so sums are unbiased while every chip stays
+    busy (previously devices were dropped one at a time — 50 profiles on 8
+    chips ran on only 5).
+    """
+    import dataclasses as _dc
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P, Mesh
@@ -106,11 +112,10 @@ def _shard_scene_profiles(scene):
     devices = jax.devices()
     ncol = scene.pressure_hl.shape[0]
     n = len(devices)
-    while n > 1 and ncol % n:
-        n -= 1
     if n <= 1:
-        return scene
-    mesh = Mesh(_np.asarray(devices[:n]), axis_names=("data",))
+        return scene, meta
+    pad = (-ncol) % n
+    mesh = Mesh(_np.asarray(devices), axis_names=("data",))
     out = {}
     for name, arr in scene._asdict().items():
         if arr is None:
@@ -118,11 +123,18 @@ def _shard_scene_profiles(scene):
             continue
         a = jnp.asarray(arr)
         if a.ndim >= 1 and a.shape[0] == ncol:
+            if pad:
+                a = jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
             sharding = NamedSharding(mesh, P("data"))
         else:
             sharding = NamedSharding(mesh, P())
         out[name] = jax.device_put(a, sharding)
-    return type(scene)(**out)
+    if pad:
+        pw = (_np.ones(ncol + pad) if meta.profile_weight is None
+              else _np.concatenate([meta.profile_weight, _np.ones(pad)]))
+        pw[ncol:] = 0.0
+        meta = _dc.replace(meta, profile_weight=pw)
+    return type(scene)(**out), meta
 
 
 def _save_checkpoint(path: str, tree, n_iter: int, cost: float):
@@ -303,7 +315,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
                                   relative_fluxes=rel))
 
     if data_parallel and len(jax.devices()) > 1:
-        scenes = [( _shard_scene_profiles(scene), meta)
+        scenes = [_shard_scene_profiles(scene, meta)
                   for scene, meta in scenes]
 
     data_cost = make_cost_fn(model, scenes, weights,
@@ -315,7 +327,9 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     # NOT a resumed checkpoint state (ckd_model.cpp:838-877 semantics).
     prior_tree = {k: v.copy() for k, v in x0_tree.items()}
 
-    # Resume a long optimization from its periodic state checkpoint.
+    # Resume a long optimization from its periodic state checkpoint.  The
+    # iteration budget counts TOTAL iterations: a resumed run performs at
+    # most max_iterations - it_offset further iterations.
     it_offset = 0
     if checkpoint_file:
         resumed = _load_checkpoint(checkpoint_file, x0_tree)
@@ -323,10 +337,18 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
             x0_tree, it_offset = resumed
             logs.log(f"Resuming optimization from {checkpoint_file} "
                      f"(iteration {it_offset})")
+    max_local = max(0, max_iterations - it_offset)
+
+    last_saved = [it_offset]
 
     def _maybe_checkpoint(tree, n_iter, cost):
-        if checkpoint_file and checkpoint_every > 0:
+        """Save at most every checkpoint_every TOTAL iterations (the device
+        path reports progress in ~100-iteration chunks; a save happens at
+        the first chunk boundary that crosses the next multiple)."""
+        if (checkpoint_file and checkpoint_every > 0
+                and n_iter - last_saved[0] >= checkpoint_every):
             _save_checkpoint(checkpoint_file, tree, n_iter, cost)
+            last_saved[0] = n_iter
 
     def total_cost(tree):
         return data_cost(tree) + prior_cost(tree, prior_tree)
@@ -342,12 +364,12 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
                  f"iterations = {max_iterations}, convergence criterion = "
                  f"{convergence_criterion}")
         t0 = time.perf_counter()
-        tree_final, cost, n_iter_dev, gnorm = _solve_on_device(
+        tree_final, cost, n_iter_local, gnorm = _solve_on_device(
             total_cost, x0_tree, lo_tree, hi_tree, sentinel_tree,
-            max_iterations, convergence_criterion,
+            max_local, convergence_criterion,
             on_chunk=lambda tree, it, c: _maybe_checkpoint(
                 tree, it + it_offset, c))
-        n_iter_dev += it_offset
+        n_iter_dev = n_iter_local + it_offset
         wall = time.perf_counter() - t0
         k_tree = {mol: np.where(v > MIN_X, np.exp(v), 0.0)
                   for mol, v in tree_final.items()}
@@ -356,7 +378,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
             status = MinimizerStatus.INVALID_COST_FUNCTION
         elif gnorm <= convergence_criterion:
             status = MinimizerStatus.SUCCESS
-        elif n_iter_dev >= max_iterations:
+        elif n_iter_local >= max_local:
             status = MinimizerStatus.MAX_ITERATIONS_REACHED
         else:
             status = MinimizerStatus.FAILED
@@ -444,7 +466,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     result = minimize(
         fun, x0_flat, jac=True, method="L-BFGS-B", bounds=bounds,
         callback=report,
-        options=dict(maxiter=max_iterations, gtol=convergence_criterion,
+        options=dict(maxiter=max_local, gtol=convergence_criterion,
                      ftol=1e-14, maxcor=30))
     wall = time.perf_counter() - t0
 
@@ -459,7 +481,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
         status = MinimizerStatus.INVALID_COST_FUNCTION
     elif result.success:
         status = MinimizerStatus.SUCCESS
-    elif result.nit >= max_iterations:
+    elif result.nit >= max_local:
         status = MinimizerStatus.MAX_ITERATIONS_REACHED
     elif last_grad_norm[0] <= convergence_criterion:
         status = MinimizerStatus.SUCCESS

@@ -25,7 +25,10 @@ import bench  # noqa: E402
 def chained_time(fn, arrays, n):
     """Time fn(arrays) with n chained evaluations in one dispatch.
     fn must return an array; arrays is a tuple of jnp arrays, the FIRST of
-    which is perturbed by a zero-valued data dependency each iteration."""
+    which is perturbed ADDITIVELY by the loop-carried accumulator scaled
+    so far down that the perturbation underflows to zero at runtime — XLA
+    constant-folds/hoists the multiplicative (1 + acc*0) form for pure-XLA
+    stages, invalidating per-stage numbers (see CLAUDE.md kernel notes)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +36,7 @@ def chained_time(fn, arrays, n):
         first = arrays[0]
 
         def body(_, acc):
-            a0 = first * (1.0 + acc * 0.0)
+            a0 = first + acc * jnp.asarray(1e-45, first.dtype)
             out = fn((a0,) + tuple(arrays[1:]))
             return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
 

@@ -70,13 +70,20 @@ class TestCheckpoint:
             assert it1 in (4, 8)
             assert any(k.startswith("state_") for k in f.files)
 
-        # Second run resumes: the checkpoint it writes continues the
-        # iteration count past the first run's.
+        # Second run resumes: max_iterations is a TOTAL budget, so a
+        # larger budget continues past the first run's count and the
+        # checkpoint it writes carries the cumulative iteration number.
         out2 = str(tmp_path / "o2.nc")
-        _run(pipeline, out2, ck, max_iter=4, every=2)
+        _run(pipeline, out2, ck, max_iter=it1 + 4, every=2)
         with np.load(ck) as f:
             it2 = int(f["_n_iter"])
         assert it2 > it1
+
+        # A budget already exhausted by the resumed count performs zero
+        # further iterations (total-budget semantics) but still succeeds.
+        _run(pipeline, str(tmp_path / "o3.nc"), ck, max_iter=4, every=2)
+        with np.load(ck) as f:
+            assert int(f["_n_iter"]) == it2
 
     def test_mismatched_checkpoint_ignored(self, pipeline, tmp_path):
         ck = str(tmp_path / "bad.ckpt")

@@ -131,3 +131,62 @@ class TestDataParallelSolve:
                                    rtol=1e-8)
         np.testing.assert_allclose(results[True][1], results[False][1],
                                    rtol=1e-6)
+
+    def test_padded_sharding_uses_all_devices(self, tmp_path):
+        """A non-divisible profile count (5 on 8 devices) is padded with
+        zero-weight copies: every device holds a shard and the cost and
+        gradient are bit-equal to the unsharded evaluation."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synth import (synth_spectrum_file, synth_lbl_flux_file)
+        from ecckd_tpu.config import Config
+        from ecckd_tpu.tools.reorder_spectrum import reorder_spectrum
+        from ecckd_tpu.tools.find_g_points import find_g_points
+        from ecckd_tpu.tools.create_lut import create_lut
+        from ecckd_tpu.models import CkdModel
+        from ecckd_tpu.io.lbl_fluxes import LblFluxes
+        from ecckd_tpu.optimize import (build_scene, make_cost_fn,
+                                        log_state_tree)
+        from ecckd_tpu.optimize.solver import _shard_scene_profiles
+        from ecckd_tpu.ops.cost import CostWeights
+        from ecckd_tpu.tools.optimize_lut import _prepare_lbl
+
+        d = tmp_path
+        h2o = synth_spectrum_file(str(d / "h2o.h5"), nwav=512, ncol=6)
+        order = str(d / "o.h5")
+        reorder_spectrum(Config({"input": h2o, "output": order}), argv=["r"])
+        gp = str(d / "g.h5")
+        find_g_points(Config({
+            "output": gp, "gases": "h2o", "heating_rate_tolerance": "0.4",
+            "averaging_method": "transmission",
+            "h2o.reordering_input": order, "h2o.input": h2o}), argv=["f"])
+        lut = str(d / "l.nc")
+        create_lut(Config({
+            "input": gp, "output": lut, "gases": "h2o",
+            "averaging_method": "transmission",
+            "h2o.conc_dependence": "linear", "h2o.input": h2o}), argv=["c"])
+        training = str(d / "t.nc")
+        synth_lbl_flux_file(training, [h2o], gp, ["h2o"],
+                            iprofiles=(0, 1, 2, 3, 4))   # 5 % 8 != 0
+
+        model = CkdModel.read(lut, active_gas_list=["h2o"])
+        lbl = LblFluxes.read(training)
+        _prepare_lbl(lbl, model, 1e4)
+        scene, meta = build_scene(model, lbl)
+        assert scene.pressure_hl.shape[0] == 5
+
+        scene_sh, meta_sh = _shard_scene_profiles(scene, meta)
+        assert scene_sh.pressure_hl.shape[0] == 8
+        assert len(scene_sh.pressure_hl.sharding.device_set) == 8
+        assert np.array_equal(meta_sh.profile_weight,
+                              [1, 1, 1, 1, 1, 0, 0, 0])
+
+        tree = {k: jnp.asarray(v) for k, v in log_state_tree(model).items()}
+        val_ref, grad_ref = jax.value_and_grad(
+            make_cost_fn(model, [(scene, meta)], CostWeights()))(tree)
+        val_sh, grad_sh = jax.value_and_grad(
+            make_cost_fn(model, [(scene_sh, meta_sh)], CostWeights()))(tree)
+        np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(grad_sh["h2o"]),
+                                   np.asarray(grad_ref["h2o"]), rtol=1e-10,
+                                   atol=1e-13)
