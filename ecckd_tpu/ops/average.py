@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import (LW_DIFFUSIVITY, ACCEL_GRAVITY, MOLAR_MASS_DRY_AIR)
 from .segments import interval_sum
@@ -310,6 +311,147 @@ def average_od_to_gpoints(ng, g_point, optical_depth, weight,
     degenerate = (min_od > 0.0) & (min_od >= max_od)
     min_od = jnp.where(degenerate, min_od * 0.99, min_od)
     max_od = jnp.where(degenerate, max_od * 1.01, max_od)
+    return fit, min_od, max_od
+
+
+# ---------------------------------------------------------------------------
+# Partial-sum (block/shard) form of g-point averaging
+# ---------------------------------------------------------------------------
+
+#: Every method average_optical_depth_to_g_point supports
+#: (average_optical_depth.cpp:120-197), all expressible as accumulated
+#: weighted sums plus a final host-side transform.
+GPOINT_AVERAGING_METHODS = (
+    "linear", "transmission", "transmission-2", "transmission-3",
+    "transmission-10", "square-root", "logarithmic",
+    "hybrid-logarithmic-transmission-3")
+
+
+def gpoint_block_partials(ng, g_point, od, weight, averaging_method):
+    """Partial sums for one wavenumber block or mesh shard.
+
+    Every g-point averaging reduction decomposes into weighted sums
+    accumulated over wavenumber blocks (streamed from disk,
+    :mod:`ecckd_tpu.ops.streaming`) or mesh shards (psum'd over the
+    spectral axis, :mod:`ecckd_tpu.parallel.sharded_average`) plus a final
+    transform (:func:`finalize_gpoint_partials`).  Sum keys combine with
+    ``+``/``psum``; ``min``/``max`` combine with elementwise
+    minimum/maximum (``pmin``/``pmax``).
+
+    The logarithmic method (average_optical_depth.cpp:127-141) needs three
+    extra accumulators: sum of w*log(od) over od>0, sum of w over od>0,
+    and the nonzero count; the hybrid method accumulates both those and
+    the transmission-3 numerator so the finalizer can blend per layer.
+
+    Returns a dict of (nz, ng) jnp arrays (traceable inside shard_map).
+    """
+    od = jnp.asarray(od)
+    w = jnp.broadcast_to(jnp.asarray(weight), od.shape)
+    gp = jnp.asarray(g_point, jnp.int32)
+    nz = od.shape[0]
+    onehot = (gp[:, None] == jnp.arange(ng)[None, :]).astype(od.dtype)
+
+    def seg(v):
+        return jnp.matmul(v, onehot, preferred_element_type=od.dtype)
+
+    out = {"w_sum": seg(w), "count": seg(jnp.ones_like(od))}
+    method = averaging_method
+    hybrid = method == "hybrid-logarithmic-transmission-3"
+    if method == "linear":
+        out["num"] = seg(od * w)
+    elif method in _METHOD_SCALE or hybrid:
+        scale = 3.0 if hybrid else _METHOD_SCALE[method]
+        out["num"] = seg(-jnp.expm1(-od * (LW_DIFFUSIVITY * scale)) * w)
+    elif method == "square-root":
+        out["num"] = seg(jnp.sqrt(od) * w)
+    elif method != "logarithmic":
+        raise ValueError(
+            f"averaging_method {method!r} not understood; choose from "
+            f"{GPOINT_AVERAGING_METHODS}")
+    if method == "logarithmic" or hybrid:
+        nonzero = od > 0.0
+        log_od = jnp.where(nonzero,
+                           jnp.log(jnp.where(nonzero, od, 1.0)), 0.0)
+        out["sum_log"] = seg(log_od * w * nonzero)
+        out["sum_w_nz"] = seg(w * nonzero)
+        out["count_nz"] = seg(nonzero.astype(od.dtype))
+
+    # Per-(layer, g) min/max over member wavenumbers: flattened segment
+    # reductions, O(nz*nwav) memory (never a (nz, nwav, ng) broadcast).
+    # Empty segments yield the scatter identity (+/-inf), which survives
+    # min/max combination across blocks and is masked by the finalizer.
+    valid = gp >= 0
+    gsafe = jnp.where(valid, gp, 0)
+    seg_ids = jnp.where(valid[None, :],
+                        gsafe[None, :] + ng * jnp.arange(nz)[:, None],
+                        nz * ng).ravel()
+    nseg_total = nz * ng + 1
+    out["min"] = jax.ops.segment_min(
+        od.ravel(), seg_ids, num_segments=nseg_total)[:-1].reshape(nz, ng)
+    out["max"] = jax.ops.segment_max(
+        od.ravel(), seg_ids, num_segments=nseg_total)[:-1].reshape(nz, ng)
+    return out
+
+
+def finalize_gpoint_partials(acc, averaging_method, pressure_fl=None):
+    """(od_fit, min_od, max_od) from fully combined partial sums.
+
+    Host-side numpy: the output is tiny ((nz, ng)) and this runs once per
+    gas, after the streamed/psum'd accumulation.  Semantics identical to
+    :func:`average_od_to_gpoints` (average_optical_depth.cpp:120-197
+    incl. the clamp-to-bounds and degenerate-bound widening at :139-163).
+    """
+    acc = {k: np.asarray(v) for k, v in acc.items()}
+    w_sum = acc["w_sum"]
+    safe = np.where(w_sum > 0.0, w_sum, 1.0)
+    method = averaging_method
+
+    def trans_fit(scale):
+        mean = np.minimum(_trans_clamp(acc["num"].dtype),
+                          acc["num"] / safe)
+        return np.abs(-np.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+
+    def log_fit():
+        count_nz, count_all = acc["count_nz"], acc["count"]
+        all_nz = count_nz >= count_all
+        none_nz = count_nz <= 0.0
+        denom = np.where(none_nz, 1.0,
+                         np.where(all_nz, safe, acc["sum_w_nz"]))
+        with np.errstate(over="ignore"):
+            fit = np.exp(acc["sum_log"] / denom)
+        fit = np.where(all_nz, fit,
+                       fit * count_nz / np.maximum(count_all, 1.0))
+        return np.where(none_nz, 0.0, fit)
+
+    if method == "linear":
+        fit = acc["num"] / safe
+    elif method in _METHOD_SCALE:
+        fit = trans_fit(_METHOD_SCALE[method])
+    elif method == "square-root":
+        mean = acc["num"] / safe
+        fit = mean * mean
+    elif method == "logarithmic":
+        fit = log_fit()
+    elif method == "hybrid-logarithmic-transmission-3":
+        if pressure_fl is None:
+            raise ValueError("hybrid method requires pressure_fl")
+        use_log = (np.asarray(pressure_fl) > 100.0e2)[:, None]
+        fit = np.where(use_log, log_fit(), trans_fit(3.0))
+    else:
+        raise ValueError(
+            f"averaging_method {method!r} not understood; choose from "
+            f"{GPOINT_AVERAGING_METHODS}")
+
+    empty = acc["count"][0] <= 0.0
+    min_od = np.where(empty[None, :] | ~np.isfinite(acc["min"]), 0.0,
+                      acc["min"])
+    max_od = np.where(empty[None, :] | ~np.isfinite(acc["max"]), 0.0,
+                      acc["max"])
+    fit = np.where(empty[None, :], 0.0, fit)
+    fit = np.maximum(min_od, np.minimum(fit, max_od))
+    degenerate = (min_od > 0.0) & (min_od >= max_od)
+    min_od = np.where(degenerate, min_od * 0.99, min_od)
+    max_od = np.where(degenerate, max_od * 1.01, max_od)
     return fit, min_od, max_od
 
 
