@@ -106,6 +106,19 @@ class NcFile:
             return _decode(data)
         return data
 
+    def read_slice(self, name: str, index: Optional[int],
+                   start: int, stop: int) -> np.ndarray:
+        """Hyperslab read along the LAST axis of one leading-index record
+        (``var[index, ..., start:stop]``) — the streaming-read primitive:
+        at CKDMIP scale a (nlay, nwav) profile is several GB, so the
+        wavenumber axis is consumed in blocks (create_look_up_table.cpp
+        streams whole profiles; the block axis is this framework's
+        addition so host reads overlap device compute)."""
+        ds = self._f[self._resolve(name)]
+        if index is None:
+            return ds[..., start:stop]
+        return ds[index, ..., start:stop]
+
     def read_scalar(self, name: str) -> float:
         val = self.read(name)
         if isinstance(val, np.ndarray):

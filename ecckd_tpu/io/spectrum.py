@@ -4,12 +4,24 @@ TPU-native equivalents of read_spectrum (src/ecckd/read_spectrum.cpp:19-87)
 and read_merged_spectrum (src/ecckd/read_merged_spectrum.cpp:19-190): load
 one profile of layer x wavenumber optical depth, optionally summing several
 gases with concentration scaling to target profiles.
+
+Two access modes share one code path:
+
+* ``read_spectrum`` / ``read_merged_spectrum`` materialize the full
+  (nlay, nwav) array — fine for test-scale spectra.
+* ``open_spectrum_profile`` / ``open_merged_spectrum_profile`` return a
+  :class:`ProfileBlocks` whose ``iter_blocks`` yields wavenumber blocks
+  via HDF5 hyperslab reads, so at CKDMIP scale (~5.6M wavenumbers x ~50
+  layers x several gases) host memory stays bounded and reads overlap
+  device compute.  The reference streams one profile at a time for the
+  same reason (create_look_up_table.cpp:242-298); the block axis is this
+  framework's addition.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -41,9 +53,87 @@ def _d_wavenumber_from_grid(wavenumber: np.ndarray) -> np.ndarray:
     return d
 
 
-def read_spectrum(file_name: str, iprof: int) -> Spectrum:
-    """Read one profile of spectral optical depth."""
-    f = NcFile(file_name)
+class ProfileBlocks:
+    """One profile's spectral optical depth as a lazy block source.
+
+    The merged optical depth is a per-file scaled sum
+    (read_merged_spectrum.cpp:120-165); each source carries its scale —
+    ``None`` (unscaled), a scalar, or an (nlay,) concentration-profile
+    ratio — and blocks sum across sources in file order, so a full-width
+    block reproduces the dense readers bit-for-bit.
+
+    Metadata attributes mirror :class:`Spectrum` (all O(nlay + nwav)).
+    """
+
+    def __init__(self, sources, pressure_hl, temperature_hl, wavenumber,
+                 d_wavenumber, molecule="", reference_surface_vmr=-1.0,
+                 vmr_fl=None, ncol=1, log_column_od=False):
+        # sources: list of (NcFile, iprof, scale)
+        self._sources = sources
+        self.pressure_hl = pressure_hl
+        self.temperature_hl = temperature_hl
+        self.wavenumber = wavenumber
+        self.d_wavenumber = d_wavenumber
+        self.molecule = molecule
+        self.reference_surface_vmr = reference_surface_vmr
+        self.vmr_fl = vmr_fl
+        self.ncol = ncol
+        self._log_column_od = log_column_od
+        self.nwav = len(wavenumber)
+        self.nlay = len(pressure_hl) - 1
+
+    # -- block access ------------------------------------------------------
+    def read_block(self, iwav0: int, nwav_block: int) -> np.ndarray:
+        """(nlay, nwav_block) float64 merged optical depth."""
+        out = None
+        for f, iprof, scale in self._sources:
+            block = np.asarray(
+                f.read_slice("optical_depth", iprof, iwav0,
+                             iwav0 + nwav_block), np.float64)
+            if scale is not None:
+                if np.ndim(scale) == 1:
+                    block = block * np.asarray(scale)[:, None]
+                elif scale != 1.0:
+                    block = block * scale
+            out = block if out is None else out + block
+        return out
+
+    def iter_blocks(self, block_wav: int = 1 << 20):
+        """Yield (iwav0, (nlay, block) od) over the wavenumber axis —
+        the interface ops.streaming.streaming_average_od_to_gpoints
+        consumes."""
+        for i0 in range(0, self.nwav, block_wav):
+            nb = min(block_wav, self.nwav - i0)
+            yield i0, self.read_block(i0, nb)
+
+    def materialize(self) -> Spectrum:
+        """Full (nlay, nwav) read -> dense :class:`Spectrum`."""
+        od = self.read_block(0, self.nwav)
+        if self._log_column_od:
+            col_od = od.sum(axis=1)
+            logs.log(f"    Column optical depth: {col_od.mean():g} +/- "
+                     f"{col_od.std():g}")
+        return Spectrum(self.pressure_hl, self.temperature_hl,
+                        self.wavenumber, self.d_wavenumber, od,
+                        self.molecule, self.reference_surface_vmr,
+                        self.vmr_fl, self.ncol)
+
+    def close(self):
+        seen = set()
+        for f, _, _ in self._sources:
+            if id(f) not in seen:
+                seen.add(id(f))
+                f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _profile_meta(f: NcFile, file_name: str, iprof: int):
+    """Everything in a spectrum file except the optical depth."""
     ncol = f.size("pressure_hl")[0]
     pressure_hl = np.asarray(f.read("pressure_hl", index=iprof), np.float64)
     if f.exist("temperature_hl"):
@@ -67,20 +157,35 @@ def read_spectrum(file_name: str, iprof: int) -> Spectrum:
                             np.float64)
     else:
         vmr_fl = np.full(len(pressure_hl) - 1, -1.0)
-    od = np.asarray(f.read("optical_depth", index=iprof), np.float64)
-    f.close()
-    return Spectrum(pressure_hl, temperature_hl, wavenumber, d_wavenumber,
-                    od, molecule, ref_vmr, vmr_fl, ncol)
+    return (ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber,
+            molecule, ref_vmr, vmr_fl)
 
 
-def read_merged_spectrum(config: Config, iprofile: int,
-                         prefix: str = "") -> Spectrum:
-    """Read and sum the spectra of several gases.
+def open_spectrum_profile(file_name: str, iprof: int) -> ProfileBlocks:
+    """Open one profile of spectral optical depth for block reads."""
+    f = NcFile(file_name)
+    (ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber, molecule,
+     ref_vmr, vmr_fl) = _profile_meta(f, file_name, iprof)
+    return ProfileBlocks([(f, iprof, None)], pressure_hl, temperature_hl,
+                         wavenumber, d_wavenumber, molecule, ref_vmr,
+                         vmr_fl, ncol)
+
+
+def read_spectrum(file_name: str, iprof: int) -> Spectrum:
+    """Read one profile of spectral optical depth."""
+    with open_spectrum_profile(file_name, iprof) as pb:
+        return pb.materialize()
+
+
+def open_merged_spectrum_profile(config: Config, iprofile: int,
+                                 prefix: str = "") -> ProfileBlocks:
+    """Open the scaled per-gas sum of several spectra for block reads.
 
     Config keys (relative to ``prefix``, e.g. "h2o."): ``input`` (list of
     files), ``scaling``/``conc`` (per-file scalars), ``conc_input`` +
     ``iprofile`` (target concentration profiles).  Ref
-    read_merged_spectrum.cpp:19-190.
+    read_merged_spectrum.cpp:19-190 — the scale factors are resolved here
+    from metadata only; the od itself is read lazily.
     """
     input_name = prefix + "input"
     scaling_name = prefix + "scaling"
@@ -107,70 +212,72 @@ def read_merged_spectrum(config: Config, iprofile: int,
         pressure_conc = np.asarray(
             conc_file.read("pressure_fl", index=iprof_conc), np.float64)
 
-    merged: Optional[Spectrum] = None
+    sources = []
     molecules: List[str] = []
     vmr_rows: List[np.ndarray] = []
+    meta = None
     pressure_fl = None
 
     for ibg, file_name in enumerate(files):
         scaling = scalings[ibg] if ibg < len(scalings) else -1.0
         conc = concs[ibg] if ibg < len(concs) else -1.0
         logs.log(f"  Reading {file_name}")
-        sp = read_spectrum(file_name, iprofile)
-        molecule = sp.molecule
+        f = NcFile(file_name)
+        (ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber,
+         molecule, ref_vmr, vmr_fl) = _profile_meta(f, file_name, iprofile)
         if not molecule:
             raise ValueError(
                 'Found neither "constituent_id" nor "molecules" amongst the '
                 "global attributes")
         molecules.append(molecule)
 
-        if merged is None:
-            merged = Spectrum(sp.pressure_hl, sp.temperature_hl,
-                              sp.wavenumber, sp.d_wavenumber,
-                              np.zeros_like(sp.optical_depth),
-                              ncol=sp.ncol)
-            pressure_fl = 0.5 * (sp.pressure_hl[:-1] + sp.pressure_hl[1:])
+        if meta is None:
+            meta = (ncol, pressure_hl, temperature_hl, wavenumber,
+                    d_wavenumber)
+            pressure_fl = 0.5 * (pressure_hl[:-1] + pressure_hl[1:])
 
-        conc_interp = None
-        scaling_profile = None
+        scale: Union[None, float, np.ndarray] = None
         if iprof_conc >= 0:
             conc_req = np.asarray(conc_file.read(
                 f"{molecule}_mole_fraction_fl", index=iprof_conc), np.float64)
             conc_interp = np.interp(pressure_fl, pressure_conc, conc_req)
-            scaling_profile = conc_interp / sp.vmr_fl
+            scale = conc_interp / vmr_fl
             logs.log("    Scaling to target concentration profile in the "
                      f"range {conc_interp.min():g} to {conc_interp.max():g}")
-        elif conc == 0.0:
-            scaling = 0.0
-        elif conc > 0.0:
-            if sp.reference_surface_vmr < 0.0:
-                raise ValueError(
-                    "Attempt to specify concentration when no "
-                    f"reference_surface_mole_fraction present in {file_name}")
-            scaling = conc / sp.reference_surface_vmr
-            logs.log(f"    Reference surface concentration = "
-                     f"{sp.reference_surface_vmr}")
-            logs.log(f"    Target surface concentration    = {conc}")
-        elif scaling < 0.0:
-            scaling = 1.0
-
-        if scaling_profile is not None:
-            merged.optical_depth += sp.optical_depth * scaling_profile[:, None]
             vmr_rows.append(conc_interp)
-        elif scaling != 1.0:
-            logs.log(f"    Scaling by {scaling}")
-            merged.optical_depth += sp.optical_depth * scaling
-            vmr_rows.append(sp.vmr_fl * scaling)
         else:
-            merged.optical_depth += sp.optical_depth
-            vmr_rows.append(sp.vmr_fl)
+            if conc == 0.0:
+                scaling = 0.0
+            elif conc > 0.0:
+                if ref_vmr < 0.0:
+                    raise ValueError(
+                        "Attempt to specify concentration when no "
+                        "reference_surface_mole_fraction present in "
+                        f"{file_name}")
+                scaling = conc / ref_vmr
+                logs.log(f"    Reference surface concentration = {ref_vmr}")
+                logs.log(f"    Target surface concentration    = {conc}")
+            elif scaling < 0.0:
+                scaling = 1.0
+            if scaling != 1.0:
+                logs.log(f"    Scaling by {scaling}")
+                scale = scaling
+                vmr_rows.append(vmr_fl * scaling)
+            else:
+                vmr_rows.append(vmr_fl)
+        sources.append((f, iprofile, scale))
 
     if conc_file is not None:
         conc_file.close()
 
-    merged.molecule = " ".join(molecules)
-    merged.vmr_fl = np.vstack(vmr_rows)
-    col_od = merged.optical_depth.sum(axis=1)
-    logs.log(f"    Column optical depth: {col_od.mean():g} +/- "
-             f"{col_od.std():g}")
-    return merged
+    ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber = meta
+    return ProfileBlocks(sources, pressure_hl, temperature_hl, wavenumber,
+                         d_wavenumber, " ".join(molecules), -1.0,
+                         np.vstack(vmr_rows), ncol, log_column_od=True)
+
+
+def read_merged_spectrum(config: Config, iprofile: int,
+                         prefix: str = "") -> Spectrum:
+    """Read and sum the spectra of several gases (dense form)."""
+    with open_merged_spectrum_profile(config, iprofile, prefix) as pb:
+        return pb.materialize()

@@ -19,7 +19,8 @@ import numpy as np
 from .. import logs
 from ..config import Config
 from ..io import NcFile
-from ..io.spectrum import read_spectrum, read_merged_spectrum
+from ..io.spectrum import (open_merged_spectrum_profile,
+                           open_spectrum_profile)
 from ..models import CkdModel, GasData, ConcDependence
 from ..ops.average import average_od_to_gpoints, od_to_molar_abs
 from .common import tool_prologue, read_string_list, find_file, setup_jax
@@ -32,13 +33,76 @@ _CONC_DEPENDENCE = {
 }
 
 
+class _Execution:
+    """Per-run choice of averaging execution path.
+
+    ``streaming``: "auto" streams wavenumber blocks from disk when one
+    profile's od + weight exceeds ``streaming_memory_mb`` (the reference
+    streams one profile at a time for the same reason,
+    create_look_up_table.cpp:242-298; CKDMIP spectra are ~5.6M wavenumbers
+    so the full array cannot be resident).  ``sharded``: "auto" engages the
+    wavenumber-sharded mesh reduction (parallel.sharded_average) for dense
+    in-memory averaging when more than one device is attached.
+    """
+
+    def __init__(self, cfg: Config):
+        self.streaming = str(cfg.read_string("streaming",
+                                             default="auto")).lower()
+        self.block_wav = cfg.read_int("streaming_block_wav",
+                                      default=1 << 20)
+        self.memory_mb = cfg.read_float("streaming_memory_mb",
+                                        default=1024.0)
+        self.sharded = str(cfg.read_string("sharded",
+                                           default="auto")).lower()
+        self._mesh = None
+
+    def use_streaming(self, nlay: int, nwav: int) -> bool:
+        if self.streaming in ("1", "yes", "true"):
+            return True
+        if self.streaming in ("0", "no", "false"):
+            return False
+        return 2.0 * 8.0 * nlay * nwav > self.memory_mb * 1.0e6
+
+    def mesh(self):
+        """A spectral mesh over all devices, or None for 1 device/off."""
+        if self.sharded in ("0", "no", "false"):
+            return None
+        if self._mesh is None:
+            import jax
+            if jax.device_count() < 2:
+                return None
+            from ..parallel import make_mesh
+            self._mesh = make_mesh(data_parallel=1)
+        return self._mesh
+
+
 def _average_profile(ng, g_point, optical_depth, weight, averaging_method,
-                     pressure_fl, pressure_hl, reference_surface_vmr):
+                     pressure_fl, pressure_hl, reference_surface_vmr,
+                     mesh=None):
     """One temperature profile -> (molar_abs, min, max), each (nlay, ng)."""
-    import jax
-    fit, mn, mx = average_od_to_gpoints(
-        ng, g_point, optical_depth, weight, averaging_method,
-        pressure_fl=pressure_fl)
+    if mesh is not None:
+        from ..parallel import sharded_average_od_to_gpoints
+        fit, mn, mx = sharded_average_od_to_gpoints(
+            mesh, ng, g_point, optical_depth, weight, averaging_method,
+            pressure_fl=pressure_fl)
+    else:
+        fit, mn, mx = average_od_to_gpoints(
+            ng, g_point, optical_depth, weight, averaging_method,
+            pressure_fl=pressure_fl)
+    k = od_to_molar_abs(fit, pressure_hl, reference_surface_vmr)
+    kmin = od_to_molar_abs(mn, pressure_hl, reference_surface_vmr)
+    kmax = od_to_molar_abs(mx, pressure_hl, reference_surface_vmr)
+    return np.asarray(k), np.asarray(kmin), np.asarray(kmax)
+
+
+def _average_profile_streaming(ng, g_point, blocks, weight_fn,
+                               averaging_method, pressure_fl, pressure_hl,
+                               reference_surface_vmr, block_wav):
+    """Streaming form: blocks is a ProfileBlocks; weight_fn(iwav0, nb)."""
+    from ..ops.streaming import streaming_average_od_to_gpoints
+    fit, mn, mx = streaming_average_od_to_gpoints(
+        blocks, ng, g_point, weight_fn, averaging_method,
+        block_wav=block_wav, pressure_fl=pressure_fl)
     k = od_to_molar_abs(fit, pressure_hl, reference_surface_vmr)
     kmin = od_to_molar_abs(mn, pressure_hl, reference_surface_vmr)
     kmax = od_to_molar_abs(mx, pressure_hl, reference_surface_vmr)
@@ -172,6 +236,7 @@ def create_lut(cfg: Config, argv=()) -> str:
     temperature_stride = cfg.read_int("temperature_stride", default=1)
     averaging_method = cfg.read_string("averaging_method",
                                        default="transmission")
+    execution = _Execution(cfg)
 
     single_gas_data: List[GasData] = []
     pressure_fl = None
@@ -192,46 +257,72 @@ def create_lut(cfg: Config, argv=()) -> str:
             raise ValueError(f'conc_dependence "{cd_str}" not understood')
         gas = GasData(gas_str, _CONC_DEPENDENCE[cd_str])
 
-        def process_profiles(read_one, reference_vmr_getter):
-            """Loop over temperature profiles, averaging each to g-points."""
+        def process_profiles(open_one):
+            """Loop over temperature profiles, averaging each to g-points.
+
+            ``open_one(iprof)`` returns (ProfileBlocks, ref_vmr); the
+            execution policy decides per profile whether to stream
+            wavenumber blocks from disk, shard the dense reduction over a
+            device mesh, or run the single-device dense path.
+            """
             nonlocal pressure_fl, temperature_fl, wavenumber_cm_1, \
                 d_wavenumber_cm_1, pressure_hl_save
             ncol = 1
             icol = 0
             k_l, kmin_l, kmax_l, t_l = [], [], [], []
             while icol < ncol:
-                sp, ref_vmr = read_one(icol * temperature_stride)
-                ncol = (sp.ncol + temperature_stride - 1) // temperature_stride
-                pressure_hl = sp.pressure_hl
+                pb, ref_vmr = open_one(icol * temperature_stride)
+                ncol = (pb.ncol + temperature_stride - 1) // temperature_stride
+                pressure_hl = pb.pressure_hl
                 if pressure_fl is None:
                     pressure_fl = 0.5 * (pressure_hl[:-1] + pressure_hl[1:])
                     pressure_hl_save = pressure_hl
-                wavenumber_cm_1 = sp.wavenumber
-                d_wavenumber_cm_1 = sp.d_wavenumber
-                t_x_p = sp.temperature_hl * pressure_hl
+                wavenumber_cm_1 = pb.wavenumber
+                d_wavenumber_cm_1 = pb.d_wavenumber
+                t_x_p = pb.temperature_hl * pressure_hl
                 t_fl = 0.5 * (t_x_p[:-1] + t_x_p[1:]) / pressure_fl
                 t_l.append(t_fl)
-                if not do_sw:
-                    weight = _planck_weight(t_fl, sp.wavenumber,
-                                            sp.d_wavenumber)
+                if execution.use_streaming(pb.nlay, pb.nwav):
+                    if icol == 0:
+                        logs.log(f"  Streaming {pb.nwav} wavenumbers in "
+                                 f"blocks of {execution.block_wav}")
+                    if do_sw:
+                        def weight_fn(i0, nb):
+                            return ssi[i0:i0 + nb]
+                    else:
+                        def weight_fn(i0, nb):
+                            return _planck_weight(
+                                t_fl, pb.wavenumber[i0:i0 + nb],
+                                pb.d_wavenumber[i0:i0 + nb])
+                    k, kmin, kmax = _average_profile_streaming(
+                        ng, g_point, pb, weight_fn, averaging_method,
+                        pressure_fl, pressure_hl, ref_vmr,
+                        execution.block_wav)
                 else:
-                    weight = np.broadcast_to(ssi, sp.optical_depth.shape)
-                k, kmin, kmax = _average_profile(
-                    ng, g_point, sp.optical_depth, weight, averaging_method,
-                    pressure_fl, pressure_hl, ref_vmr)
+                    sp = pb.materialize()
+                    if not do_sw:
+                        weight = _planck_weight(t_fl, sp.wavenumber,
+                                                sp.d_wavenumber)
+                    else:
+                        weight = np.broadcast_to(ssi, sp.optical_depth.shape)
+                    k, kmin, kmax = _average_profile(
+                        ng, g_point, sp.optical_depth, weight,
+                        averaging_method, pressure_fl, pressure_hl, ref_vmr,
+                        mesh=execution.mesh())
+                pb.close()
                 k_l.append(k); kmin_l.append(kmin); kmax_l.append(kmax)
                 icol += 1
             return (np.stack(k_l), np.stack(kmin_l), np.stack(kmax_l),
                     np.stack(t_l))
 
         if gas.conc_dependence == ConcDependence.NONE:
-            def read_one(iprof):
-                sp = read_merged_spectrum(cfg, iprof, f"{gas_str}.")
-                return sp, 1.0
-            k, kmin, kmax, t_fl = process_profiles(read_one, None)
-            sp0 = read_merged_spectrum(cfg, 0, f"{gas_str}.")
-            gas.composite_molecules = sp0.molecule
-            gas.composite_vmr = sp0.vmr_fl
+            def open_one(iprof):
+                return open_merged_spectrum_profile(
+                    cfg, iprof, f"{gas_str}."), 1.0
+            k, kmin, kmax, t_fl = process_profiles(open_one)
+            with open_merged_spectrum_profile(cfg, 0, f"{gas_str}.") as pb0:
+                gas.composite_molecules = pb0.molecule
+                gas.composite_vmr = pb0.vmr_fl
             gas.molar_abs, gas.min_molar_abs, gas.max_molar_abs = \
                 k, kmin, kmax
             temperature_fl = t_fl
@@ -247,10 +338,10 @@ def create_lut(cfg: Config, argv=()) -> str:
                         "conc_dependence is relative-linear")
                 gas.reference_vmr = ref_conc
 
-            def read_one(iprof):
-                sp = read_spectrum(file_name, iprof)
-                return sp, sp.reference_surface_vmr
-            k, kmin, kmax, t_fl = process_profiles(read_one, None)
+            def open_one(iprof):
+                pb = open_spectrum_profile(file_name, iprof)
+                return pb, pb.reference_surface_vmr
+            k, kmin, kmax, t_fl = process_profiles(open_one)
             gas.molar_abs, gas.min_molar_abs, gas.max_molar_abs = \
                 k, kmin, kmax
             temperature_fl = t_fl
@@ -261,16 +352,16 @@ def create_lut(cfg: Config, argv=()) -> str:
             for file_name in files:
                 file_name = find_file(file_name)
 
-                def read_one(iprof):
-                    sp = read_spectrum(file_name, iprof)
-                    if sp.reference_surface_vmr < 0.0:
+                def open_one(iprof):
+                    pb = open_spectrum_profile(file_name, iprof)
+                    if pb.reference_surface_vmr < 0.0:
                         raise ValueError(
                             "Invalid reference_surface_vmr for constructing "
                             "VMR-dependent look-up table")
-                    return sp, sp.reference_surface_vmr
-                k, kmin, kmax, t_fl = process_profiles(read_one, None)
-                sp0 = read_spectrum(file_name, 0)
-                vmrs.append(sp0.reference_surface_vmr)
+                    return pb, pb.reference_surface_vmr
+                k, kmin, kmax, t_fl = process_profiles(open_one)
+                with open_spectrum_profile(file_name, 0) as pb0:
+                    vmrs.append(pb0.reference_surface_vmr)
                 k_c.append(k); kmin_c.append(kmin); kmax_c.append(kmax)
             gas.molar_abs = np.stack(k_c)
             gas.min_molar_abs = np.stack(kmin_c)
@@ -322,7 +413,8 @@ def create_lut(cfg: Config, argv=()) -> str:
         nlut = len(temperature_lut)
         planck_lut = np.zeros((nlut, ng))
         # Chunk over temperatures to bound memory for large spectra
-        chunk = 16
+        # (~256 MB of f64 Planck values per chunk at CKDMIP scale)
+        chunk = max(1, min(16, int(256.0e6 / (8 * len(wavenumber_cm_1)))))
         for i0 in range(0, nlut, chunk):
             t_chunk = temperature_lut[i0:i0 + chunk]
             pf = np.asarray(planck_function(t_chunk, wavenumber_cm_1,

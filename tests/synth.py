@@ -128,7 +128,7 @@ def synth_scenario_file(path, ncol=3, nlay=15, seed=2,
 
 
 def synth_spectrum_file(path, molecule="h2o", ncol=5, nlay=15, nwav=2048,
-                        seed=3, is_sw=False, vmr_value=None):
+                        seed=3, is_sw=False, vmr_value=None, od_scale=1.0):
     """CKDMIP-style high-res absorption spectrum file (read_spectrum input).
 
     Layout follows read_spectrum.cpp:19-87: pressure_hl (col, half_level),
@@ -183,7 +183,8 @@ def synth_spectrum_file(path, molecule="h2o", ncol=5, nlay=15, nwav=2048,
             w.write(temperature_hl[icol], "temperature_hl", index=icol)
             # od grows with pressure thickness and temperature scaling per col
             tfact = np.exp(0.02 * (temperature_hl[icol, 1:, None] - 250.0))
-            od = (vmr * col_mass[icol][:, None] * 1e-3 * k[None, :] * tfact)
+            od = (od_scale * vmr * col_mass[icol][:, None] * 1e-3
+                  * k[None, :] * tfact)
             w.write(od.astype(np.float32), "optical_depth", index=icol)
             w.write(np.full(nlay, vmr), "mole_fraction_fl", index=icol)
         w.write_attribute(molecule, "constituent_id")
