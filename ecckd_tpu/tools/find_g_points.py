@@ -23,7 +23,7 @@ from .. import logs
 from ..config import Config
 from ..constants import REFERENCE_COS_SZA, LW_DIFFUSIVITY
 from ..io import NcFile, NcWriter, write_standard_attributes, read_order
-from ..io.spectrum import read_merged_spectrum
+from ..io.spectrum import open_merged_spectrum_profile
 from ..partition.cost_kernel import (CandidateCostLw, CandidateCostSw,
                                      CkdEquipartition)
 from ..partition.gas_data import (SingleGasData, overlap_g_points,
@@ -44,6 +44,106 @@ def calc_median_sorting_variable(sorting_variable, weight, i1, i2):
 
 def _sqrt_bounds(ng):
     return np.sqrt(np.arange(ng + 1, dtype=np.float64) / ng)
+
+
+def _read_reordered_od(pb, irank, block_wav):
+    """Stream a profile's optical depth from disk directly into RANK order.
+
+    Reads wavenumber blocks (contiguous on disk) and scatters each into its
+    rank positions, so only ONE (nlay, nwav) array is ever resident — the
+    dense gather ``od[:, ireorder]`` would peak at two full copies (~5 GB
+    at CKDMIP scale).  Equivalent to read_merged_spectrum + reorder
+    (find_g_points.cpp reads then permutes the same way).
+    """
+    od = np.empty((pb.nlay, pb.nwav))
+    col_od = np.zeros(pb.nlay)
+    for i0, block in pb.iter_blocks(block_wav=block_wav):
+        od[:, irank[i0:i0 + block.shape[1]]] = block
+        col_od += block.sum(axis=1)
+    logs.log(f"    Column optical depth: {col_od.mean():g} +/- "
+             f"{col_od.std():g}")
+    return od
+
+
+def _lw_truth_blockwise(planck_function, rt_lw, hr_fn, temperature_hl,
+                        pressure_hl, wavenumber_cm_1, d_wavenumber_cm_1,
+                        optical_depth, bg_optical_depth, block_wav):
+    """LW truth fields computed in wavenumber blocks.
+
+    The spectral RT is independent per wavenumber, so the full
+    (nlev+1, nwav) flux arrays never need to exist — only the Planck LUT
+    and heating rate (needed per band by the candidate kernels) plus the
+    boundary-flux rows are kept.  Results are bitwise identical to the
+    whole-spectrum evaluation.
+    """
+    nwav = optical_depth.shape[1]
+    nlev1 = len(temperature_hl)
+    nlay = len(pressure_hl) - 1
+    planck_hl = np.empty((nlev1, nwav))
+    hr = np.empty((nlay, nwav))
+    flux_dn_surf = np.empty(nwav)
+    flux_up_toa = np.empty(nwav)
+    for i0 in range(0, nwav, block_wav):
+        sl = slice(i0, min(i0 + block_wav, nwav))
+        pblk = np.asarray(planck_function(
+            temperature_hl, wavenumber_cm_1[sl], d_wavenumber_cm_1[sl]))
+        planck_hl[:, sl] = pblk
+        if bg_optical_depth is None:
+            tot = optical_depth[:, sl]
+        else:
+            tot = bg_optical_depth[:, sl] + optical_depth[:, sl]
+        fd, fu = rt_lw(pblk, tot, np.ones(sl.stop - sl.start), pblk[-1])
+        fd, fu = np.asarray(fd), np.asarray(fu)
+        hr[:, sl] = np.asarray(hr_fn(pressure_hl, fd, fu))
+        flux_dn_surf[sl] = fd[-1]
+        flux_up_toa[sl] = fu[0]
+    return planck_hl, hr, flux_dn_surf, flux_up_toa
+
+
+def _sw_truth_blockwise(rt_direct_sw, rt_norayleigh_sw, hr_fn, cos_sza,
+                        pressure_hl, ssi_reorder, optical_depth,
+                        bg_optical_depth, albedo, total_trans_scalings,
+                        block_wav):
+    """SW truth fields in wavenumber blocks; with ``total_trans_scalings``
+    = (min_scaling, max_scaling, use_albedo) also the low/high scaled runs
+    of the total-transmission method (find_g_points.cpp:906-960)."""
+    nwav = optical_depth.shape[1]
+    nlay = len(pressure_hl) - 1
+    hr = np.empty((nlay, nwav))
+    flux_dn_surf = np.empty(nwav)
+    extras = None
+    if total_trans_scalings is not None:
+        extras = dict(
+            flux_dn_surf_low=np.empty(nwav), flux_up_toa_low=np.zeros(nwav),
+            flux_dn_surf_high=np.empty(nwav),
+            flux_up_toa_high=np.zeros(nwav),
+            hr_low=np.empty((nlay, nwav)), hr_high=np.empty((nlay, nwav)))
+    for i0 in range(0, nwav, block_wav):
+        sl = slice(i0, min(i0 + block_wav, nwav))
+        if bg_optical_depth is None:
+            bg = 0.0
+        else:
+            bg = bg_optical_depth[:, sl]
+        tot = bg + optical_depth[:, sl]
+        fd = np.asarray(rt_direct_sw(cos_sza, ssi_reorder[sl], tot))
+        hr[:, sl] = np.asarray(hr_fn(pressure_hl, fd))
+        flux_dn_surf[sl] = fd[-1]
+        if total_trans_scalings is None:
+            continue
+        min_scaling, max_scaling, use_albedo = total_trans_scalings
+        for tag, scaling in (("low", min_scaling), ("high", max_scaling)):
+            od_s = bg + scaling * optical_depth[:, sl]
+            if use_albedo:
+                fds, fus = rt_norayleigh_sw(cos_sza, ssi_reorder[sl], od_s,
+                                            albedo[sl])
+                fds, fus = np.asarray(fds), np.asarray(fus)
+                extras[f"flux_up_toa_{tag}"][sl] = fus[0]
+            else:
+                fds = np.asarray(rt_direct_sw(cos_sza, ssi_reorder[sl],
+                                              od_s))
+            extras[f"hr_{tag}"][:, sl] = np.asarray(hr_fn(pressure_hl, fds))
+            extras[f"flux_dn_surf_{tag}"][sl] = fds[-1]
+    return hr, flux_dn_surf, extras
 
 
 def _cloud_pseudo_gas(cfg: Config, cloud_str: str, ssi: np.ndarray
@@ -299,102 +399,69 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     if do_sw:
                         ssi_reorder = ssi[ireorder]
 
-        # ---- Background + target spectra ----
+        # ---- Background + target spectra (streamed into rank order) ----
+        block_wav = cfg.read_int("streaming_block_wav", default=1 << 20)
         if cfg.exist(f"{gas_str}.background_input"):
             logs.log("Generating background optical depth")
-            bg = read_merged_spectrum(cfg, iprofile, f"{gas_str}.background_")
-            logs.log("  Reordering")
-            bg_optical_depth = bg.optical_depth[:, ireorder]
-            wavenumber_orig = bg.wavenumber
+            with open_merged_spectrum_profile(
+                    cfg, iprofile, f"{gas_str}.background_") as bgpb:
+                bg_optical_depth = _read_reordered_od(bgpb, irank, block_wav)
+                wavenumber_orig = bgpb.wavenumber
         else:
+            # Kept as None (lazy zeros): a full zero array is ~2.4 GB at
+            # CKDMIP scale; per-band zero slices are built where needed.
             bg_optical_depth = None
 
         logs.log("Generating target optical depth")
-        sp = read_merged_spectrum(cfg, iprofile, f"{gas_str}.")
-        molecule = sp.molecule
-        nwav = len(sp.wavenumber)
+        pb = open_merged_spectrum_profile(cfg, iprofile, f"{gas_str}.")
+        molecule = pb.molecule
+        nwav = pb.nwav
         if wavenumber_orig is None:
-            wavenumber_orig = sp.wavenumber
-
-        if bg_optical_depth is None:
-            bg_optical_depth = np.zeros_like(sp.optical_depth)
+            wavenumber_orig = pb.wavenumber
 
         albedo_orig = None
         if do_sw:
             albedo_orig = np.zeros(nwav)
-            albedo_orig[sp.wavenumber < max_no_rayleigh_wavenumber] = \
+            albedo_orig[pb.wavenumber < max_no_rayleigh_wavenumber] = \
                 reference_albedo
 
-        logs.log("  Reordering")
-        optical_depth = sp.optical_depth[:, ireorder]
-        wavenumber_cm_1 = sp.wavenumber[ireorder]
-        d_wavenumber_cm_1 = sp.d_wavenumber[ireorder]
-        pressure_hl = sp.pressure_hl
-        temperature_hl = sp.temperature_hl
+        optical_depth = _read_reordered_od(pb, irank, block_wav)
+        wavenumber_cm_1 = pb.wavenumber[ireorder]
+        d_wavenumber_cm_1 = pb.d_wavenumber[ireorder]
+        pressure_hl = pb.pressure_hl
+        temperature_hl = pb.temperature_hl
+        pb.close()
         nlay = len(pressure_hl) - 1
         logs.log(f"{nlay} layers\n{nwav} spectral points")
 
         albedo = albedo_orig[ireorder] if do_sw else None
 
-        # ---- Truth fluxes ----
-        total_od = bg_optical_depth + optical_depth
+        # ---- Truth fluxes (blockwise: full flux arrays never resident) --
         surf_emissivity = np.ones(nwav)
-        flux_up = None
-        flux_low = flux_high = None
+        extras = None
         if not do_sw:
-            logs.log("Computing Planck function")
-            planck_hl = np.asarray(planck_function(
-                temperature_hl, wavenumber_cm_1, d_wavenumber_cm_1))
+            logs.log("Computing Planck function and longwave radiative "
+                     "transfer")
+            planck_hl, hr, flux_dn_surf, flux_up_toa = _lw_truth_blockwise(
+                planck_function, rt_lw, hr_fn, temperature_hl, pressure_hl,
+                wavenumber_cm_1, d_wavenumber_cm_1, optical_depth,
+                bg_optical_depth, block_wav)
             surf_planck = planck_hl[-1].copy()
-            logs.log("Performing longwave radiative transfer")
-            fd, fu = rt_lw(planck_hl, total_od, surf_emissivity, surf_planck)
-            flux_dn, flux_up = np.asarray(fd), np.asarray(fu)
         else:
             planck_hl = surf_planck = None
             logs.log("Performing shortwave radiative transfer")
-            flux_dn = np.asarray(rt_direct_sw(cos_sza, ssi_reorder, total_od))
+            tt = None
             if averaging_method == "total-transmission":
-                if max_no_rayleigh_wavenumber > 0.0:
-                    fd_lo, fu_lo = rt_norayleigh_sw(
-                        cos_sza, ssi_reorder,
-                        bg_optical_depth + min_scaling * optical_depth,
-                        albedo)
-                    fd_hi, fu_hi = rt_norayleigh_sw(
-                        cos_sza, ssi_reorder,
-                        bg_optical_depth + max_scaling * optical_depth,
-                        albedo)
-                    flux_low = (np.asarray(fd_lo), np.asarray(fu_lo))
-                    flux_high = (np.asarray(fd_hi), np.asarray(fu_hi))
-                else:
-                    fd_lo = rt_direct_sw(
-                        cos_sza, ssi_reorder,
-                        bg_optical_depth + min_scaling * optical_depth)
-                    fd_hi = rt_direct_sw(
-                        cos_sza, ssi_reorder,
-                        bg_optical_depth + max_scaling * optical_depth)
-                    flux_low = (np.asarray(fd_lo), None)
-                    flux_high = (np.asarray(fd_hi), None)
-
-        logs.log("Computing heating rate")
-        hr = np.asarray(hr_fn(pressure_hl, flux_dn, flux_up))
-        flux_dn_surf = flux_dn[-1].copy()
-        flux_up_toa = (flux_up[0].copy() if flux_up is not None
-                       else np.zeros(nwav))
-
-        extras = None
-        if do_sw and averaging_method == "total-transmission":
-            hr_low = np.asarray(hr_fn(pressure_hl, flux_low[0]))
-            hr_high = np.asarray(hr_fn(pressure_hl, flux_high[0]))
-            extras = dict(
-                flux_dn_surf_low=flux_low[0][-1],
-                flux_up_toa_low=(flux_low[1][0] if flux_low[1] is not None
-                                 else np.zeros(nwav)),
-                flux_dn_surf_high=flux_high[0][-1],
-                flux_up_toa_high=(flux_high[1][0]
-                                  if flux_high[1] is not None
-                                  else np.zeros(nwav)),
-                min_scaling=min_scaling, max_scaling=max_scaling,
-                hr_low=hr_low, hr_high=hr_high)
+                tt = (min_scaling, max_scaling,
+                      max_no_rayleigh_wavenumber > 0.0)
+            hr, flux_dn_surf, extras = _sw_truth_blockwise(
+                rt_direct_sw, rt_norayleigh_sw, hr_fn, cos_sza, pressure_hl,
+                ssi_reorder, optical_depth, bg_optical_depth, albedo, tt,
+                block_wav)
+            flux_up_toa = np.zeros(nwav)
+            if extras is not None:
+                extras["min_scaling"] = min_scaling
+                extras["max_scaling"] = max_scaling
 
         layer_weight = (np.sqrt(pressure_hl[1:])
                         - np.sqrt(pressure_hl[:-1]))
@@ -403,15 +470,25 @@ def find_g_points(cfg: Config, argv=()) -> str:
         layer_weight /= layer_weight.sum()
 
         # ---- Metric (ref :1119-1150) ----
+        # Transformed IN PLACE in blocks: the od itself is not needed after
+        # the truth fluxes above, and a second (nlay, nwav) array would
+        # double peak memory at CKDMIP scale.
         if averaging_method in ("linear", "logarithmic",
                                 "total-transmission"):
             metric = optical_depth
-        elif averaging_method == "transmission":
-            metric = -np.expm1(-optical_depth * LW_DIFFUSIVITY)
-        elif averaging_method == "transmission-2":
-            metric = -np.expm1(-optical_depth * LW_DIFFUSIVITY * 2.0)
-        elif averaging_method == "square-root":
-            metric = np.sqrt(optical_depth)
+        elif averaging_method in ("transmission", "transmission-2",
+                                  "square-root"):
+            scale = LW_DIFFUSIVITY * (2.0 if averaging_method
+                                      == "transmission-2" else 1.0)
+            for i0 in range(0, nwav, block_wav):
+                sl = slice(i0, min(i0 + block_wav, nwav))
+                if averaging_method == "square-root":
+                    np.sqrt(optical_depth[:, sl], out=optical_depth[:, sl])
+                else:
+                    blk = optical_depth[:, sl]
+                    np.expm1(-scale * blk, out=blk)
+                    np.negative(blk, out=blk)
+            metric = optical_depth
         else:
             raise ValueError(f"Averaging method {averaging_method!r} not "
                              "understood")
@@ -428,12 +505,15 @@ def find_g_points(cfg: Config, argv=()) -> str:
             ibegin, iend = int(band_index[0]), int(band_index[-1])
             sl = slice(ibegin, iend + 1)
 
+            bg_band = (np.zeros_like(metric[:, sl])
+                       if bg_optical_depth is None
+                       else bg_optical_depth[:, sl])
             if not do_sw:
                 kernel = CandidateCostLw(
                     averaging_method, flux_weight, layer_weight, pressure_hl,
                     surf_emissivity[sl], surf_planck[sl], flux_dn_surf[sl],
                     flux_up_toa[sl], planck_hl[:, sl],
-                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl],
+                    bg_band, metric[:, sl], hr[:, sl],
                     use_pallas=use_pallas)
             else:
                 band_extras = None
@@ -450,7 +530,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     averaging_method, flux_weight, layer_weight, cos_sza,
                     pressure_hl, ssi_reorder[sl], band_albedo[jband],
                     flux_dn_surf[sl], flux_up_toa[sl],
-                    bg_optical_depth[:, sl], metric[:, sl], hr[:, sl],
+                    bg_band, metric[:, sl], hr[:, sl],
                     extras=band_extras, use_pallas=use_pallas)
 
             eq = CkdEquipartition(kernel)

@@ -84,6 +84,39 @@ class TestFindGPointsLw:
         find_g_points(cfg, argv=["find_g_points", "test"])
         return out
 
+    def test_block_size_invariance(self, pipeline_inputs, output,
+                                   tmp_path):
+        """Streamed rank-order reads and blockwise truth fluxes must be
+        invariant to the block size: a tiny streaming_block_wav reproduces
+        the default output's g-point map exactly."""
+        out2 = str(tmp_path / "gpoints_blocked.h5")
+        find_g_points(Config({
+            "output": out2,
+            "gases": "h2o o3",
+            "heating_rate_tolerance": "0.4",
+            "tolerance_tolerance": "0.02",
+            "max_iterations": "30",
+            "averaging_method": "transmission",
+            "flux_weight": "0.02",
+            "streaming_block_wav": "37",     # pathological block size
+            "h2o.reordering_input": pipeline_inputs["h2o_order"],
+            "h2o.input": pipeline_inputs["h2o"],
+            "h2o.background_input": pipeline_inputs["o3"],
+            "o3.reordering_input": pipeline_inputs["o3_order"],
+            "o3.input": pipeline_inputs["o3"],
+            "o3.background_input": pipeline_inputs["h2o"],
+        }), argv=["find_g_points"])
+        a, b = NcFile(output), NcFile(out2)
+        np.testing.assert_array_equal(a.read("g_point"), b.read("g_point"))
+        for gas in ("h2o", "o3"):
+            np.testing.assert_array_equal(a.read(f"{gas}_rank1"),
+                                          b.read(f"{gas}_rank1"))
+            np.testing.assert_array_equal(a.read(f"{gas}_rank2"),
+                                          b.read(f"{gas}_rank2"))
+            np.testing.assert_allclose(a.read(f"{gas}_error"),
+                                       b.read(f"{gas}_error"), rtol=1e-12)
+        a.close(); b.close()
+
     def test_output_structure(self, output):
         f = NcFile(output)
         assert f.read_scalar("n_gases") == 2
