@@ -130,6 +130,105 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     return nwav * NLAY * n_iters / dt
 
 
+def run_bench_sw(device, nwav, n_iters, dtype, use_pallas=None):
+    """SW candidate-sweep throughput (Zdunkowski direct+up two-stream,
+    albedo 0.15 so the upwelling pass runs), chained single-dispatch
+    timing like the LW bench."""
+    import jax
+    import jax.numpy as jnp
+    from ecckd_tpu.partition.cost_kernel import CandidateCostSw
+
+    data = build_inputs(NLAY, nwav, NSEG, dtype)
+    rng = np.random.default_rng(1)
+    ssi = np.asarray(np.abs(rng.normal(1.0, 0.1, nwav)), dtype)
+    with jax.default_device(device):
+        if use_pallas is None:
+            use_pallas = (device.platform == "tpu"
+                          and os.environ.get("BENCH_KERNEL", "pallas")
+                          == "pallas")
+        kernel = CandidateCostSw(
+            "transmission", 0.02, data["layer_weight"], 0.5,
+            data["pressure_hl"], ssi, 0.15,
+            data["flux_dn_surf"], data["flux_up_toa"],
+            data["bg_od"], data["metric"], data["hr"],
+            use_pallas=use_pallas)
+        arrays = kernel._arrays()
+        i1 = jnp.asarray(data["i1"])
+        i2 = jnp.asarray(data["i2"])
+        seg = jnp.asarray(data["seg_of_wav"])
+
+        def chained(arrays, i1, i2, seg, n):
+            (lw, p, ssi_a, fds, fut, bg, met, hr, extras) = arrays
+
+            def body(_, acc):
+                met2 = met + acc * jnp.asarray(1e-45, met.dtype)
+                out = kernel._kernel(
+                    (lw, p, ssi_a, fds, fut, bg, met2, hr, extras),
+                    i1, i2, seg)
+                return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+
+            return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, met.dtype))
+
+        jitted = jax.jit(chained)
+        out = jitted(arrays, i1, i2, seg, 1)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        out = jitted(arrays, i1, i2, seg, n_iters)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+    if not np.isfinite(float(out)):
+        raise RuntimeError("SW benchmark kernel produced non-finite costs")
+    return nwav * NLAY * n_iters / dt
+
+
+# Approximate per-chip peaks by device kind: (HBM GB/s, bf16 dense TFLOP/s).
+# Public figures; used only to express the roofline as a fraction of peak.
+_TPU_PEAKS = {
+    "v4": (1228.0, 275.0),
+    "v5e": (819.0, 394.0),
+    "v5 lite": (819.0, 394.0),
+    "v5p": (2765.0, 459.0),
+    "v6e": (1640.0, 918.0),
+    "v6 lite": (1640.0, 918.0),
+}
+
+
+def roofline(device, throughput_bins_layers_s, nlay=NLAY, nseg=NSEG):
+    """Bytes-moved and FLOPs per sweep, plus fraction of device peaks.
+
+    Mandatory HBM reads per sweep evaluation (f32): metric, bg_od, hr
+    ((nlay, nwav) each), planck_hl ((nlay+1, nwav)), plus ~5 nwav-length
+    vectors -> (4*nlay + 6) * 4 bytes per wavenumber.  MXU work: the
+    interval reductions are membership matmuls over ~(5*nlay + 4) rows
+    (fit numerator+denominator 2*nlay, truth nlay+2, per-level broadband
+    fluxes 2*(nlay+1)) -> 2 * rows * nseg FLOPs per wavenumber.  Both are
+    analytic estimates of *useful* traffic/work — achieved hardware
+    counters may be higher (recomputation, padding).
+    """
+    sweeps_per_s = throughput_bins_layers_s / float(nlay)  # per wavenumber
+    bytes_per_wav = (4 * nlay + 6) * 4.0
+    rows = 5 * nlay + 4
+    flops_per_wav = 2.0 * rows * nseg
+    gbps = sweeps_per_s * bytes_per_wav / 1e9
+    gflops = sweeps_per_s * flops_per_wav / 1e9
+    kind = getattr(device, "device_kind", "") or ""
+    peaks = None
+    for key, val in _TPU_PEAKS.items():
+        if key in kind.lower():
+            peaks = val
+    out = {
+        "device_kind": kind,
+        "hbm_read_gbps": round(gbps, 2),
+        "mxu_gflops": round(gflops, 2),
+        "bytes_per_bin_layer": bytes_per_wav / nlay,
+        "flops_per_bin_layer": flops_per_wav / nlay,
+    }
+    if peaks is not None:
+        out["pct_hbm_peak"] = round(100.0 * gbps / peaks[0], 2)
+        out["pct_mxu_peak"] = round(100.0 * gflops / (peaks[1] * 1e3), 3)
+    return out
+
+
 def run_native_baseline(nwav, n_iters):
     """All-cores OpenMP C++ throughput of the identical sweep computation
     (csrc/sweep_baseline.cpp) — the measured stand-in for the reference's
@@ -240,7 +339,8 @@ def main():
     devices = jax.devices()
     accel = devices[0]
 
-    if os.environ.get("BENCH_METRIC") == "optimize":
+    metric_mode = os.environ.get("BENCH_METRIC", "")
+    if metric_mode == "optimize":
         s_per_iter = run_optimize_bench(accel, max(N_ITERS, 20))
         vs_baseline = 1.0
         try:
@@ -254,6 +354,16 @@ def main():
             "value": s_per_iter,
             "unit": "s/iter",
             "vs_baseline": vs_baseline,
+        }))
+        return
+
+    if metric_mode == "sw":
+        throughput = run_bench_sw(accel, NWAV, N_ITERS, np.float32)
+        print(json.dumps({
+            "metric": "sw_candidate_sweep_wavenumber_bins_layers_per_s",
+            "value": throughput,
+            "unit": "bins*layers/s",
+            "vs_baseline": 1.0,
         }))
         return
 
@@ -273,12 +383,27 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    result = {
         "metric": "candidate_sweep_wavenumber_bins_layers_per_s_per_chip",
         "value": throughput,
         "unit": "bins*layers/s",
         "vs_baseline": vs_baseline,
-    }))
+    }
+    # Roofline + the SW-sweep and optimize entries ride the same line
+    # (BENCH_SKIP_EXTRAS=1 for the historical single-metric output).
+    if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        result["roofline"] = roofline(accel, throughput)
+        try:
+            result["sw_sweep_bins_layers_per_s"] = run_bench_sw(
+                accel, NWAV, N_ITERS, np.float32)
+        except Exception as e:
+            result["sw_sweep_bins_layers_per_s"] = f"failed: {e}"
+        try:
+            result["optimize_s_per_iter"] = run_optimize_bench(
+                accel, max(N_ITERS, 20))
+        except Exception as e:
+            result["optimize_s_per_iter"] = f"failed: {e}"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -278,7 +278,7 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
           convergence_criterion=0.02, negative_od_penalty=1.0e4,
           pressure_weight_power=0.5, is_bounded=True,
           relative_fluxes=None, data_parallel=False,
-          solver="scipy", checkpoint_file=None,
+          solver="auto", checkpoint_file=None,
           checkpoint_every=0) -> SolveResult:
     """Optimize the active gases' LUTs against LBL training fluxes.
 
@@ -288,9 +288,12 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     so XLA psums the gradients over the mesh).
 
     ``solver``: "scipy" (host L-BFGS-B around the jitted device
-    value_and_grad — the reference's exact bounded behavior) or "device"
+    value_and_grad — the reference's exact bounded behavior), "device"
     (the entire L-BFGS loop on device via optax; bounds by projection;
-    eliminates the per-iteration host round trip).
+    eliminates the per-iteration host round trip), or "auto" (device on
+    TPU, where each scipy iteration would pay a ~50 ms relay dispatch for
+    ~1 ms of device compute; scipy elsewhere).  Device-vs-scipy final-cost
+    parity is asserted in tests/test_optimize.py.
     """
     import jax
     import jax.numpy as jnp
@@ -298,6 +301,9 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     from scipy.optimize import minimize
     from ..ops.cost import CostWeights
     from ..logs import Timer
+
+    if solver == "auto":
+        solver = "device" if jax.default_backend() == "tpu" else "scipy"
 
     weights = CostWeights(
         flux_weight=flux_weight, flux_profile_weight=flux_profile_weight,

@@ -165,7 +165,7 @@ def optimize_lut(cfg: Config, argv=()) -> int:
             pressure_weight_power=pressure_weight_power,
             is_bounded=is_bounded,
             relative_fluxes=relative_list, data_parallel=data_parallel,
-            solver=cfg.read_string("solver", default="scipy"),
+            solver=cfg.read_string("solver", default="auto"),
             checkpoint_file=cfg.read_string("checkpoint_file",
                                             default=None),
             checkpoint_every=cfg.read_int("checkpoint_every", default=0))
