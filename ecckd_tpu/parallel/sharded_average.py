@@ -86,3 +86,67 @@ def sharded_average_od_to_gpoints(mesh, ng: int, g_point, optical_depth,
         out_specs=P()))(od, w, gp)
     return finalize_gpoint_partials(acc, averaging_method,
                                     pressure_fl=pressure_fl)
+
+
+def sharded_average_od_to_gpoints_multihost(mesh, ng: int, g_point_local,
+                                            od_local, weight_local,
+                                            averaging_method: str,
+                                            axis: str = "spectral",
+                                            pressure_fl=None
+                                            ) -> Tuple[np.ndarray,
+                                                       np.ndarray,
+                                                       np.ndarray]:
+    """Multi-controller form: every PROCESS passes only its own contiguous
+    wavenumber slice.
+
+    Each host streams its share of the spectrum from local disk
+    (distributed.local_shard_range), the local slices are assembled into a
+    global array with ``jax.make_array_from_process_local_data`` (no
+    cross-host data movement — each host's shards land on its own
+    devices), and the same psum/pmin/pmax shard_map reduction runs over
+    the global mesh.  The global wavenumber count is
+    ``process_count * nwav_local`` and every process must pass the same
+    local length, divisible by its local device count along ``axis``.
+    """
+    import jax
+
+    if averaging_method not in SUPPORTED_METHODS:
+        raise ValueError(
+            f"sharded averaging does not support {averaging_method!r}; "
+            f"choose from {SUPPORTED_METHODS}")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+
+    od_local = np.asarray(od_local)
+    nz, nwav_local = od_local.shape
+    w_local = np.broadcast_to(np.asarray(weight_local), od_local.shape)
+    gp_local = np.asarray(g_point_local, np.int32)
+    nproc = jax.process_count()
+    nwav = nproc * nwav_local
+
+    od_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, axis)), od_local, (nz, nwav))
+    w_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, axis)), w_local, (nz, nwav))
+    gp_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)), gp_local, (nwav,))
+
+    def local(od_l, w_l, gp_l):
+        parts = gpoint_block_partials(ng, gp_l, od_l, w_l, averaging_method)
+        return {k: (jax.lax.pmin(v, axis) if k == "min"
+                    else jax.lax.pmax(v, axis) if k == "max"
+                    else jax.lax.psum(v, axis))
+                for k, v in parts.items()}
+
+    acc = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis)),
+        out_specs=P()))(od_g, w_g, gp_g)
+    # Outputs are replicated -> addressable on every process
+    acc = {k: np.asarray(jax.device_get(
+        v.addressable_data(0))) for k, v in acc.items()}
+    return finalize_gpoint_partials(acc, averaging_method,
+                                    pressure_fl=pressure_fl)
