@@ -294,10 +294,13 @@ class CkdEquipartition(Equipartition):
     def _seg_of_wav(self, i1: np.ndarray) -> np.ndarray:
         """Map each rank to the interval whose fit od it carries.
 
-        For a partition sweep this assigns rank r to the last interval with
-        i1 <= r; for arbitrary probe batches the assignment only matters
-        within each interval's own range, which this still satisfies for
-        non-overlapping probes.
+        Assigns rank r to the last interval with i1 <= r.  Each wavenumber
+        can carry only ONE interval's fitted od per kernel evaluation, so
+        this is correct exactly when the (sorted) intervals do not overlap
+        — within each interval's own [i1, i2] range the assignment is then
+        its own index (gaps between intervals are attributed to the
+        preceding interval but never summed into it).  Overlapping batches
+        are split into non-overlapping groups by :meth:`calc_error_many`.
         """
         ranks = np.arange(self.npoints)
         return np.maximum(
@@ -306,10 +309,30 @@ class CkdEquipartition(Equipartition):
     def calc_error_many(self, bounds_pairs):
         i1, i2 = self._indices(bounds_pairs)
         order = np.argsort(i1, kind="stable")
-        inv = np.argsort(order, kind="stable")
         i1s, i2s = i1[order], i2[order]
-        seg = self._seg_of_wav(i1s)
-        return self.kernel.costs(i1s, i2s, seg)[inv]
+
+        # Greedily split the sorted probes into non-overlapping groups;
+        # a partition sweep (the hot path) is one group = one kernel call.
+        group_of = np.empty(len(i1s), np.int64)
+        group_end: list = []   # last i2 of each group so far
+        for k in range(len(i1s)):
+            for g, end in enumerate(group_end):
+                if i1s[k] > end:
+                    group_of[k] = g
+                    group_end[g] = i2s[k]
+                    break
+            else:
+                group_of[k] = len(group_end)
+                group_end.append(i2s[k])
+
+        out = np.empty(len(i1s))
+        for g in range(len(group_end)):
+            sel = np.nonzero(group_of == g)[0]
+            seg = self._seg_of_wav(i1s[sel])
+            out[sel] = self.kernel.costs(i1s[sel], i2s[sel], seg)
+
+        inv = np.argsort(order, kind="stable")
+        return out[inv]
 
     def calc_error(self, bound1: float, bound2: float) -> float:
         return float(self.calc_error_many([(bound1, bound2)])[0])

@@ -134,14 +134,28 @@ class Equipartition:
         newerror = error.copy()
         iterations_remaining = self.partition_max_iterations
 
+        def _finite_or(mid, lo, hi):
+            """Secant steps divide by an interval error, which can be
+            EXACTLY zero on degenerate (constant-metric) intervals.  The
+            reference performs the IEEE division and then feeds the
+            inf/NaN bound through an int cast (equipartition.cpp:228-231
+            — undefined behavior in C++); this port deviates deliberately:
+            a non-finite step falls back to bisecting the current bracket,
+            which is well-defined and converges."""
+            if np.isfinite(mid):
+                return mid
+            return 0.5 * (lo + hi)
+
         ediff_left = ediff_right = 0.0
         if error[0] > error[1]:
             bound_right = bounds[1]
             ediff_right = error[1] - error[0]
             while iterations_remaining:
-                newbounds[1] = ((-ediff_right * newbounds[0]
-                                 + (newerror[0] + ediff_right) * newbounds[1])
-                                / newerror[0])
+                newbounds[1] = _finite_or(
+                    (-ediff_right * newbounds[0]
+                     + (newerror[0] + ediff_right) * newbounds[1])
+                    / newerror[0] if newerror[0] else np.inf,
+                    newbounds[0], newbounds[1])
                 newerror[:] = self.calc_error_all(newbounds)
                 if newerror[0] < newerror[1]:
                     bound_left = newbounds[1]
@@ -153,9 +167,11 @@ class Equipartition:
             bound_left = bounds[1]
             ediff_left = error[1] - error[0]
             while iterations_remaining:
-                newbounds[1] = ((ediff_left * newbounds[2]
-                                 + (newerror[1] - ediff_left) * newbounds[1])
-                                / newerror[1])
+                newbounds[1] = _finite_or(
+                    (ediff_left * newbounds[2]
+                     + (newerror[1] - ediff_left) * newbounds[1])
+                    / newerror[1] if newerror[1] else np.inf,
+                    newbounds[1], newbounds[2])
                 newerror[:] = self.calc_error_all(newbounds)
                 if newerror[0] > newerror[1]:
                     bound_right = newbounds[1]
@@ -171,9 +187,10 @@ class Equipartition:
             if no_progress:
                 newbounds[1] = 0.5 * (bound_right + bound_left)
             else:
-                newbounds[1] = ((ediff_left * bound_right
-                                 - ediff_right * bound_left)
-                                / (ediff_left - ediff_right))
+                d = ediff_left - ediff_right
+                newbounds[1] = _finite_or(
+                    (ediff_left * bound_right - ediff_right * bound_left)
+                    / d if d else np.inf, bound_left, bound_right)
             newerror[:] = self.calc_error_all(newbounds)
             ediff = newerror[1] - newerror[0]
             denom = newerror[0] + newerror[1]

@@ -1,8 +1,13 @@
 // Test-oracle driver: exercises the REFERENCE equipartition algorithm
 // (compiled at test time from /root/reference/src/ecckd/equipartition.cpp,
-// which depends only on the C++ standard library) on the synthetic
-// exponential ramp, printing bounds/errors for comparison against the
-// Python port in ecckd_tpu/partition/equipartition.py.
+// which depends only on the C++ standard library) on synthetic error
+// functions, printing bounds/errors for comparison against the Python port
+// in ecckd_tpu/partition/equipartition.py.
+//
+// Usage: oracle NPOINTS NI TOL [RAMP] [CUBIC] [TARGET_SCALE]
+//   RAMP: 0 exp ramp, 1 bumpy (sin-modulated) ramp, 2 plateau
+//   CUBIC: 0/1 -> set_cubic_interpolation
+//   TARGET_SCALE: equipartition_e target = TARGET_SCALE * error[0]
 //
 // This file is original driver code; no reference source is copied into
 // the repository.
@@ -17,10 +22,17 @@
 
 class RampEquipartition : public Equipartition {
   public:
-    explicit RampEquipartition(int n) : npoints(n), values(n) {
+    RampEquipartition(int n, int shape) : npoints(n), values(n) {
         for (int i = 0; i < n; ++i) {
-            double x = -2.0 + 12.0 * i / (n - 1);
-            values[i] = std::exp(x);
+            double x = static_cast<double>(i) / (n - 1);
+            if (shape == 1) {
+                values[i] = std::exp(-2.0 + 12.0 * x)
+                            * (1.5 + std::sin(40.0 * x));
+            } else if (shape == 2) {
+                values[i] = std::exp(12.0 * (x < 0.6 ? x : 0.6)) + 0.1 * x;
+            } else {
+                values[i] = std::exp(-2.0 + 12.0 * x);
+            }
         }
     }
 
@@ -40,12 +52,16 @@ int main(int argc, char** argv) {
     int npoints = argc > 1 ? std::atoi(argv[1]) : 100000;
     int ni = argc > 2 ? std::atoi(argv[2]) : 16;
     double tol = argc > 3 ? std::atof(argv[3]) : 0.01;
+    int shape = argc > 4 ? std::atoi(argv[4]) : 0;
+    int cubic = argc > 5 ? std::atoi(argv[5]) : 0;
+    double target_scale = argc > 6 ? std::atof(argv[6]) : 1.0;
 
-    RampEquipartition eq(npoints);
+    RampEquipartition eq(npoints, shape);
     eq.set_partition_max_iterations(200);
     eq.set_line_search_max_iterations(15);
     eq.set_partition_tolerance(tol);
     eq.set_resolution(1.0 / npoints);
+    eq.set_cubic_interpolation(cubic != 0);
     eq.set_verbose(0);
 
     std::vector<ep_real> bounds(ni + 1), error(ni);
@@ -62,7 +78,7 @@ int main(int argc, char** argv) {
     // Target-error mode
     int ne = 0;
     std::vector<ep_real> bounds_e, error_e;
-    double target = error[0];
+    double target = target_scale * error[0];
     EpStatus status_e = eq.equipartition_e(target, 0.0, 1.0, ne,
                                            bounds_e, error_e);
     printf("status_e %d ne %d\n", static_cast<int>(status_e), ne);
