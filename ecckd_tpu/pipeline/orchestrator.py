@@ -95,6 +95,7 @@ def build_pipeline(cfg: Config) -> Pipeline:
     # test/check_configuration.h:36-57, find_g_points_*.sh tweaks).
     # Explicit user keys always win; unknown application names (ad-hoc
     # experiments) skip preset expansion entirely.
+    monochromatic = False
     if app in presets.APPLICATIONS:
         settings = presets.check_configuration(mode, app, band, tolerance)
         if not cfg.exist("min_pressure"):
@@ -108,6 +109,10 @@ def build_pipeline(cfg: Config) -> Pipeline:
                 for key, val in opts.items():
                     if not cfg.exist(f"{gas}.{key}"):
                         cfg.set(f"{gas}.{key}", val)
+        for key, val in settings.get("defaults", {}).items():
+            if not cfg.exist(key):
+                cfg.set(key, val)
+        monochromatic = bool(settings.get("monochromatic", False))
     else:
         band_table = (presets.LW_BAND_STRUCTURES if mode == "lw"
                       else presets.SW_BAND_STRUCTURES)
@@ -222,7 +227,18 @@ def build_pipeline(cfg: Config) -> Pipeline:
         current = scaled
 
     # ---- optimize passes ----
-    n_passes = cfg.read_int("optimize_passes", default=1)
+    # Monochromatic (radiance-channel) models need no optimization
+    # (do_all_lw_radiance.sh:12-14): the final model is the raw LUT.
+    n_passes = cfg.read_int("optimize_passes",
+                            default=0 if monochromatic else 1)
+    if n_passes == 0:
+        final = path(f"{mode}_ckd-definition_{model_code}.nc")
+
+        def run_finalize(inp=current, out=final):
+            import shutil
+            shutil.copyfile(inp, out)
+        pipe.add("finalize", [final], run_finalize)
+        current = final
     for ipass in range(1, n_passes + 1):
         section = f"pass{ipass}"
         if ipass == n_passes:

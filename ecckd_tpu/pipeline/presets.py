@@ -37,6 +37,13 @@ LW_BAND_STRUCTURES: Dict[str, Tuple[List[float], List[float]]] = {
         [0, 500, 820, 1180, 1800],
         [500, 820, 1180, 1800, 3260],
     ),
+    # Radiance (channel) band structures (do_all_lw_radiance.sh:28-44):
+    # monochromatic per-channel models for remote sensing; band order
+    # follows the reference's channel listing (by nominal wavelength),
+    # not ascending wavenumber.
+    "microwave": ([1.03071, 5.47379], [1.03738, 5.60054]),   # 31/166 GHz
+    "msi": ([1084, 885, 800], [1195, 976, 870]),       # MSI thermal
+    "modis": ([1450, 1149, 887, 815], [1530, 1190, 928, 850]),
 }
 
 SW_BAND_STRUCTURES: Dict[str, Tuple[List[float], List[float]]] = {
@@ -86,6 +93,12 @@ SW_BAND_STRUCTURES: Dict[str, Tuple[List[float], List[float]]] = {
         [3750, 5350, 7150, 8700, 10650, 14300, 16650, 20000, 25000, 28550,
          30250, 30750, 31250, 31750, 32250, 32750, 33250, 33750, 50000],
     ),
+    # Radiance (channel) band structures (do_all_sw_radiance.sh:20-29)
+    "msi": ([14706, 11429, 5970, 4425], [15152, 11696, 6154, 4630]),
+    "modis": (
+        [23810, 20877, 17699, 14925, 11416, 8000, 6053, 4640],
+        [24691, 21882, 18349, 16129, 11891, 8130, 6143, 4751],
+    ),
     # UV-extended structures (test/config.h:165-168): "window" with an
     # extra 50000-86000 band, and the photolysis structure covering the
     # Hartley ozone and Schumann-Runge oxygen bands.
@@ -128,6 +141,22 @@ APPLICATIONS: Dict[str, Dict[str, object]] = {
         "app": "nwp",
         "min_pressure": 400.0,
         "optimize_modes": [],
+    },
+    # Radiance workflow (do_all_lw_radiance.sh:14-34 + the
+    # nwp-microwave configs of find_g_points_lw.sh:286-320 /
+    # create_lut_lw.sh:202-232): per-channel models for remote sensing
+    # are monochromatic, so no optimization step runs; the g-point
+    # search uses zero flux weight and a tighter tolerance_tolerance.
+    "nwp-microwave": {
+        "app": "nwp-microwave",
+        "min_pressure": 2.0,
+        "optimize_modes": [],
+        "monochromatic": True,
+        "defaults": {
+            "flux_weight": "0.0",
+            "tolerance_tolerance": "0.015",
+            "averaging_method": "transmission",
+        },
     },
 }
 

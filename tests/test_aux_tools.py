@@ -1,5 +1,7 @@
 """Tests for merge_spectra, lw_spectra, scale_lut, reorder_cloud_spectrum."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -191,3 +193,72 @@ class TestScaleLut:
         good = (od_best > 1e-6)
         # min/max clamping limits some entries; median ratio should be ~1
         assert abs(np.median(ratio[good]) - 1.0) < 0.5
+
+
+class TestExportTools:
+    """summarize_g_points + export_ckdmip (test/summarize_g_points.sh,
+    rename_ckd_definition.sh, copy_to_ckdmip_{lw,sw}.sh equivalents)."""
+
+    @pytest.fixture(scope="class")
+    def artifacts(self, tmp_path_factory):
+        from ecckd_tpu.tools.reorder_spectrum import reorder_spectrum
+        from ecckd_tpu.tools.find_g_points import find_g_points
+        from ecckd_tpu.tools.create_lut import create_lut
+        d = tmp_path_factory.mktemp("export")
+        h2o = synth_spectrum_file(str(d / "h2o.h5"), nwav=512, ncol=3)
+        order = str(d / "o.h5")
+        reorder_spectrum(Config({"input": h2o, "output": order}),
+                         argv=["r"])
+        gp = str(d / "g.h5")
+        find_g_points(Config({
+            "output": gp, "gases": "h2o",
+            "heating_rate_tolerance": "0.4",
+            "averaging_method": "transmission",
+            "h2o.reordering_input": order, "h2o.input": h2o}), argv=["f"])
+        lut = str(d / "lw_ckd-definition_climate_fsck-tol0.4.nc")
+        create_lut(Config({
+            "input": gp, "output": lut, "gases": "h2o",
+            "averaging_method": "transmission",
+            "h2o.conc_dependence": "linear", "h2o.input": h2o}),
+            argv=["c"])
+        return dict(d=d, gp=gp, lut=lut)
+
+    def test_summarize_g_points(self, artifacts, capsys):
+        from ecckd_tpu.tools.summarize_g_points import (main,
+                                                        summarize_g_points)
+        lines = summarize_g_points([artifacts["gp"], artifacts["lut"]])
+        assert "g_point =" in lines[0]
+        assert "h2o =" in lines[0]
+        assert "bands =" in lines[0]
+        assert "g_point =" in lines[1]
+        assert main([artifacts["gp"]]) == 0
+        assert artifacts["gp"] in capsys.readouterr().out
+        assert main([]) == 1
+
+    def test_export_ckdmip(self, artifacts, tmp_path):
+        from ecckd_tpu.io import NcFile
+        from ecckd_tpu.tools.export_ckdmip import export_ckdmip
+        # A companion flux file named with the tolerance model code
+        comp_dir = tmp_path / "fluxes"
+        comp_dir.mkdir()
+        comp = comp_dir / ("ecckd_evaluation1_lw_climate_fsck-tol0.4_"
+                           "fluxes-4angle_present.nc")
+        import shutil
+        shutil.copyfile(artifacts["lut"], comp)
+        results = str(tmp_path / "results")
+        written = export_ckdmip(Config({
+            "input": artifacts["lut"], "results_dir": results,
+            "mode": "lw", "application": "climate",
+            "band_structure": "fsck", "tolerance": "0.4",
+            "companions": str(comp_dir)}), argv=["e"])
+        with NcFile(artifacts["lut"]) as f:
+            ng = f.size("band_number")[0]
+        expect_def = os.path.join(
+            results, "lw_spectral-definition",
+            f"ecckd_lw_climate_fsck-{ng}_spectral-definition.nc")
+        assert expect_def in written and os.path.exists(expect_def)
+        expect_flux = os.path.join(
+            results, "lw_fluxes",
+            f"ecckd_evaluation1_lw_climate_fsck-{ng}_"
+            "fluxes-4angle_present.nc")
+        assert expect_flux in written and os.path.exists(expect_flux)

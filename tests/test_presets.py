@@ -147,3 +147,57 @@ def test_reference_tolerance_tables():
     assert presets.LW_REFERENCE_TOLERANCES["narrow"][64] == 0.013
     assert presets.LW_REFERENCE_TOLERANCES["fsck"][32] == 0.0161
     assert presets.SW_REFERENCE_TOLERANCES["narrow"][64] == 0.019
+
+
+def test_radiance_band_structures():
+    """Channel (radiance) band structures: do_all_lw_radiance.sh:28-44,
+    do_all_sw_radiance.sh:20-29.  Bands are per-channel and follow the
+    reference's channel order (not ascending wavenumber)."""
+    wn1, wn2 = presets.band_boundaries("lw", "microwave")
+    assert wn1 == [1.03071, 5.47379] and wn2 == [1.03738, 5.60054]
+    wn1, wn2 = presets.band_boundaries("lw", "msi")
+    assert len(wn1) == 3 and all(a < b for a, b in zip(wn1, wn2))
+    wn1, wn2 = presets.band_boundaries("lw", "modis")
+    assert len(wn1) == 4
+    wn1, wn2 = presets.band_boundaries("sw", "msi")
+    assert len(wn1) == 4
+    wn1, wn2 = presets.band_boundaries("sw", "modis")
+    assert len(wn1) == 8
+    for a, b in zip(wn1, wn2):
+        assert a < b
+
+
+def test_nwp_microwave_application():
+    """do_all_lw_radiance.sh:12-14 + find_g_points_lw.sh:286-320:
+    monochromatic models, zero flux weight, no optimize pass."""
+    s = presets.application_settings("nwp-microwave")
+    assert s["monochromatic"] is True
+    assert s["optimize_modes"] == []
+    assert s["defaults"]["flux_weight"] == "0.0"
+    assert s["defaults"]["tolerance_tolerance"] == "0.015"
+
+
+def test_monochromatic_pipeline_skips_optimize(tmp_path):
+    """An nwp-microwave workflow must not contain optimize steps; the
+    final ckd-definition is the raw LUT (finalize copy)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import synth_spectrum_file
+    h2o = synth_spectrum_file(str(tmp_path / "h2o.h5"), nwav=512, ncol=3)
+    cfg = Config({
+        "mode": "lw", "application": "nwp-microwave",
+        "band_structure": "fsck", "work_dir": str(tmp_path / "w"),
+        "gases": "h2o", "tolerance": "0.5",
+        "h2o.input": h2o, "h2o.conc_dependence": "linear",
+    })
+    pipe = build_pipeline(cfg)
+    names = [s.name for s in pipe.steps]
+    assert "finalize" in names
+    assert not any(n.startswith("optimize") for n in names)
+    # Application defaults landed without overriding anything explicit
+    assert cfg.read_string("flux_weight") == "0.0"
+    assert cfg.read_string("averaging_method") == "transmission"
+    pipe.run()
+    final = os.path.join(str(tmp_path / "w"),
+                         "lw_ckd-definition_lw_nwp-microwave_fsck.nc")
+    assert os.path.exists(final)
