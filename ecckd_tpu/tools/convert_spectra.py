@@ -33,11 +33,13 @@ def convert_spectra(cfg: Config, argv=()) -> list:
     return paths
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    convert_spectra(cfg, argv=["convert_spectra"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: convert_spectra(tool_prologue(argv), argv=["convert_spectra"] + argv),
+        name="convert_spectra")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

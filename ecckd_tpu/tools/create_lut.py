@@ -437,11 +437,13 @@ def create_lut(cfg: Config, argv=()) -> str:
     return output
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    create_lut(cfg, argv=["create_lut"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: create_lut(tool_prologue(argv), argv=["create_lut"] + argv),
+        name="create_lut")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

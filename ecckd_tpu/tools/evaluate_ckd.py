@@ -61,9 +61,10 @@ def evaluate_ckd(cfg: Config, argv=()) -> list:
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
-    cfg = tool_prologue(argv)
-    evaluate_ckd(cfg, argv)
-    return 0
+    from ..errors import run_tool
+    return run_tool(
+        lambda: evaluate_ckd(tool_prologue(argv), argv=["evaluate_ckd"] + argv),
+        name="evaluate_ckd")
 
 
 if __name__ == "__main__":

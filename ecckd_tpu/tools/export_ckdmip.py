@@ -97,11 +97,13 @@ def export_ckdmip(cfg: Config, argv=()) -> List[str]:
     return written
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    export_ckdmip(cfg, argv=["export_ckdmip"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: export_ckdmip(tool_prologue(argv), argv=["export_ckdmip"] + argv),
+        name="export_ckdmip")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

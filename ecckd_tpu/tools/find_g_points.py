@@ -834,11 +834,13 @@ def find_g_points(cfg: Config, argv=()) -> str:
     return output
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    find_g_points(cfg, argv=["find_g_points"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: find_g_points(tool_prologue(argv), argv=["find_g_points"] + argv),
+        name="find_g_points")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

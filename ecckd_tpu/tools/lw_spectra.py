@@ -145,11 +145,13 @@ def lw_spectra(cfg: Config, argv=()) -> str:
     return output
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    lw_spectra(cfg, argv=["lw_spectra"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: lw_spectra(tool_prologue(argv), argv=["lw_spectra"] + argv),
+        name="lw_spectra")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -71,11 +71,13 @@ def merge_spectra(cfg: Config, argv=()) -> str:
     return output
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    merge_spectra(cfg, argv=["merge_spectra"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: merge_spectra(tool_prologue(argv), argv=["merge_spectra"] + argv),
+        name="merge_spectra")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -182,12 +182,13 @@ def optimize_lut(cfg: Config, argv=()) -> int:
     return 0
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    rc = optimize_lut(cfg, argv=["optimize_lut"] + list(argv))
-    sys.exit(rc)
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: optimize_lut(tool_prologue(argv), argv=["optimize_lut"] + argv),
+        name="optimize_lut")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -89,9 +89,10 @@ def plot_ckd(cfg: Config, argv=()) -> str:
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
-    cfg = tool_prologue(argv)
-    plot_ckd(cfg, argv)
-    return 0
+    from ..errors import run_tool
+    return run_tool(
+        lambda: plot_ckd(tool_prologue(argv), argv=["plot_ckd"] + argv),
+        name="plot_ckd")
 
 
 if __name__ == "__main__":

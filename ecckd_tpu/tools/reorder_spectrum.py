@@ -180,11 +180,13 @@ def reorder_spectrum(cfg: Config, argv=()) -> str:
     return output_file
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    reorder_spectrum(cfg, argv=["reorder_spectrum"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: reorder_spectrum(tool_prologue(argv), argv=["reorder_spectrum"] + argv),
+        name="reorder_spectrum")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

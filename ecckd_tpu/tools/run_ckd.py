@@ -231,11 +231,13 @@ def run_ckd(cfg: Config, argv=()) -> str:
     return output_file
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    run_ckd(cfg, argv=["run_ckd"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: run_ckd(tool_prologue(argv), argv=["run_ckd"] + argv),
+        name="run_ckd")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

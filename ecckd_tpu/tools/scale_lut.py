@@ -105,11 +105,13 @@ def scale_lut(cfg: Config, argv=()) -> str:
     return output_file
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    cfg = tool_prologue(argv)
-    scale_lut(cfg, argv=["scale_lut"] + list(argv))
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    from ..errors import run_tool
+    return run_tool(
+        lambda: scale_lut(tool_prologue(argv), argv=["scale_lut"] + argv),
+        name="scale_lut")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
