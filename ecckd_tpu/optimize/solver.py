@@ -247,8 +247,8 @@ def _solve_on_device(total_cost, x0_tree, lo_tree, hi_tree, sentinel_tree,
         carry = run_chunk(carry, jnp.int32(limit))
         params, state, it_dev, value, gnorm = carry
         new_it = int(it_dev)
-        logs.log(f"Iteration {new_it}: cost = {float(value):.6g}, "
-                 f"gradient norm = {float(gnorm):.6g}")
+        logs.progress(f"Iteration {new_it}: cost = {float(value):.6g}, "
+                      f"gradient norm = {float(gnorm):.6g}")
         if on_chunk is not None:
             on_chunk({k: np.asarray(v) for k, v in params.items()},
                      new_it, float(value))
@@ -461,8 +461,8 @@ def solve(model, training_data, flux_weight=0.02, flux_profile_weight=0.0,
     def report(x_flat):
         n_iter[0] += 1
         if n_iter[0] % 10 == 1 or n_iter[0] < 5:
-            logs.log(f"Iteration {n_iter[0]}: gradient norm = "
-                     f"{last_grad_norm[0]:.6g}")
+            logs.progress(f"Iteration {n_iter[0]}: gradient norm = "
+                          f"{last_grad_norm[0]:.6g}")
         if (checkpoint_file and checkpoint_every > 0
                 and n_iter[0] % checkpoint_every == 0):
             tree = unravel(jnp.asarray(x_flat))

@@ -43,6 +43,9 @@ def tool_prologue(argv: Sequence[str]) -> Config:
     level = cfg.read_string("log_level", default=None)
     if level:
         logs.set_log_level(level)
+    log_file = cfg.read_string("log_file", default=None)
+    if log_file:
+        logs.set_log_file(log_file)
     pp = cfg.read_string("prepend_path", default=None)
     if pp:
         prepend_search_directory(pp)

@@ -85,6 +85,42 @@ class TestLogLevels:
         with pytest.raises(Exception):
             logs.set_log_level("bogus-level")
 
+    def test_log_file_sink_duplicates_messages(self, tmp_path, capsys):
+        """log_file config key mirrors every message into a file
+        (reference optional file output, src/include/Logging.h:36-155)."""
+        sink = tmp_path / "run.log"
+        logs.set_log_file(str(sink))
+        try:
+            logs.log("to both streams")
+            logs.warning("warned")
+            logs.progress("iter 1 of 3")
+        finally:
+            logs.set_log_file(None)
+        text = sink.read_text()
+        assert "to both streams" in text
+        assert "warned" in text
+        assert "iter 1 of 3" in text
+        out = capsys.readouterr()
+        assert "to both streams" in out.out
+
+    def test_progress_respects_level(self, capsys):
+        logs.set_log_level("warning")
+        try:
+            logs.progress("hidden progress")
+        finally:
+            logs.set_log_level("info")
+        out = capsys.readouterr()
+        assert "hidden progress" not in out.out + out.err
+
+    def test_prologue_log_file_key(self, tmp_path):
+        sink = tmp_path / "tool.log"
+        common.tool_prologue([f"log_file={sink}"])
+        try:
+            logs.log("from tool")
+        finally:
+            logs.set_log_file(None)
+        assert "from tool" in sink.read_text()
+
 
 class TestMaybeProfile:
     def test_noop_without_key(self):
