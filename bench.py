@@ -336,6 +336,13 @@ def run_optimize_bench(device, n_iters):
 def main():
     import jax
 
+    # BENCH_PLATFORM=cpu pins the platform for smoke runs: the axon
+    # sitecustomize force-sets jax_platforms="axon,cpu", so the env var
+    # JAX_PLATFORMS alone does NOT keep a run off the TPU relay.
+    platform = os.environ.get("BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     devices = jax.devices()
     accel = devices[0]
 

@@ -124,7 +124,12 @@ class Config:
         The reference's XML engine (src/tools/DataFileEngineXml.cpp) is only
         built against the proprietary GMV ECSL library (#ifdef HAVE_GMVECSL)
         and is absent from default builds; this standalone reader keeps the
-        same DataFile-facade semantics without that dependency.
+        same DataFile-facade semantics without that dependency, including
+        the GMV dialect's name mapping (DataFileEngineXml.cpp:82-113
+        ``translate_varname``): unsectioned names live in a top-level
+        ``<main>`` group (``read("x")`` finds ``<main><x>``), dotted names
+        map to element nesting (``a.b`` -> ``<a><b>``), and element tags may
+        themselves contain dots (``a.b.c.d`` -> ``<a><b><c.d>``).
         """
         import xml.etree.ElementTree as ET
 
@@ -141,7 +146,12 @@ class Config:
                      else child.tag)
 
         for child in root:
-            walk(child, child.tag)
+            if child.tag == "main":
+                # GMV scope rule: <main> holds the unsectioned namespace.
+                for sub in child:
+                    walk(sub, sub.tag)
+            else:
+                walk(child, child.tag)
         cfg = cls(data)
         cfg._source_files.append(path)
         return cfg
@@ -206,21 +216,36 @@ class Config:
             return None
         return raw.split()
 
-    def read_float(self, key: str, default: Any = _MISSING) -> Optional[float]:
+    def read_float(self, key: str, default: Any = _MISSING,
+                   index: Optional[int] = None) -> Optional[float]:
+        """Read a number; with ``index``, the i'th element of a
+        space-separated list (ref ``DataFile::read(Real&, varname, j)``,
+        src/include/DataFile.h; returns None past the end)."""
         raw = self._raw(key, default)
         if raw is None or isinstance(raw, (int, float)):
             return raw
+        toks = raw.split()
+        if index is not None:
+            if index < 0 or index >= len(toks):
+                return None
+            toks = toks[index:]
         try:
-            return float(raw.split()[0])
+            return float(toks[0])
         except (ValueError, IndexError):
             raise ConfigError(f"Config key {key!r} is not a number: {raw!r}")
 
-    def read_int(self, key: str, default: Any = _MISSING) -> Optional[int]:
+    def read_int(self, key: str, default: Any = _MISSING,
+                 index: Optional[int] = None) -> Optional[int]:
         raw = self._raw(key, default)
         if raw is None or isinstance(raw, int):
             return raw
+        toks = raw.split()
+        if index is not None:
+            if index < 0 or index >= len(toks):
+                return None
+            toks = toks[index:]
         try:
-            return int(float(raw.split()[0]))
+            return int(float(toks[0]))
         except (ValueError, IndexError):
             raise ConfigError(f"Config key {key!r} is not an integer: {raw!r}")
 

@@ -110,6 +110,39 @@ class TestConfig:
         assert cfg2.read_string("h2o.input") == "alt.h5"
         assert cfg2.read_string("h2o.conc_dependence") == "lut"
 
+    def test_xml_gmv_dialect(self, tmp_path):
+        """GMV-dialect name mapping (DataFileEngineXml.cpp:82-113
+        translate_varname): unsectioned names live under <main>
+        ("x" -> main/x), dotted names nest ("a.b" -> a/b, "a.b.c" ->
+        a/b/c), and beyond two levels the dot is literal in the element
+        tag ("a.b.c.d" -> a/b/<c.d>).  Vectors are whitespace-separated
+        element text read up to the requested index (PARTIAL_CHECK,
+        DataFileEngineXml.cpp:63-81)."""
+        p = tmp_path / "gmv.xml"
+        p.write_text("""<Earth_Explorer_File>
+  <main>
+    <iprofile>2</iprofile>
+    <wavenumber>100.0 250.5 400.0</wavenumber>
+  </main>
+  <h2o>
+    <input>h2o_median.h5</input>
+    <lut>
+      <temperature.stride>4</temperature.stride>
+    </lut>
+  </h2o>
+</Earth_Explorer_File>""")
+        cfg = Config.from_file(str(p))
+        # "x" -> main/x: unsectioned scope
+        assert cfg.read_int("iprofile") == 2
+        assert cfg.read_floats("wavenumber") == [100.0, 250.5, 400.0]
+        # element-index read of a vector value (read(x, varname, j))
+        assert cfg.read_float("wavenumber", index=1) == 250.5
+        # "a.b" -> a/b
+        assert cfg.read_string("h2o.input") == "h2o_median.h5"
+        # "a.b.c.d" -> a/b/<c.d>: third dot literal in the tag
+        assert cfg.read_int("h2o.lut.temperature.stride") == 4
+        assert cfg.exist("h2o.input") and not cfg.exist("o3.input")
+
 
 class TestNcio:
     def test_roundtrip(self, tmp_path):

@@ -66,6 +66,34 @@ def test_tool_main_exit_codes(tmp_path, capsys):
     assert rc == errors.PARAMETER_ERROR
 
 
+def test_debug_nans_traps_and_maps_to_processing_error(tmp_path):
+    """debug_nans=1 is the reference's enable_floating_point_exceptions()
+    (floating_point_exceptions.h:20-25): a NaN produced inside a jitted
+    computation must raise, and the raised FloatingPointError maps to the
+    ESA PROCESSING_ERROR code via run_tool semantics."""
+    import jax
+    import jax.numpy as jnp
+    from ecckd_tpu.config import Config
+    from ecckd_tpu.tools.common import setup_jax
+
+    setup_jax(Config({"debug_nans": "1"}))
+    try:
+        def produce_nan():
+            z = jnp.asarray(0.0)
+            return float(jax.jit(lambda a: a / a)(z))
+        with pytest.raises(FloatingPointError):
+            produce_nan()
+        # FloatingPointError is an ArithmeticError -> PROCESSING_ERROR
+        rc = errors.run_tool(produce_nan, name="optimize_lut")
+        assert rc == errors.PROCESSING_ERROR
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+    # Without the trap the same computation returns a quiet NaN.
+    val = float(jax.jit(lambda a: a / a)(jnp.asarray(0.0)))
+    assert np.isnan(val)
+
+
 def test_signal_handlers_installed():
     import signal
     errors.install_interrupt_handler()
