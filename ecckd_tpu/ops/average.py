@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (LW_DIFFUSIVITY, ACCEL_GRAVITY, MOLAR_MASS_DRY_AIR)
-from .segments import interval_sum
+from .segments import interval_sum, interval_sum_fused, part_of
 
 _TRANS_CLAMP = 0.9999999999999999
 
@@ -72,28 +72,41 @@ def fit_optical_depth_lw(averaging_method, planck_hl, metric, i1, i2):
     Returns:
       (nlay, nseg) fitted optical depth per layer and interval.
     """
+    parts, rows, finish = fit_parts_lw(averaging_method, planck_hl, metric)
+    sums = interval_sum_fused(parts, metric.shape[-1], i1, i2,
+                              dtype=metric.dtype)
+    return finish(sums, i1, i2)
+
+
+def fit_parts_lw(averaging_method, planck_hl, metric):
+    """Decomposed LW interval fit: ``(parts, rows, finish)``.
+
+    ``parts`` are fused-reduction operand producers (ops.segments
+    ``interval_sum_fused``) covering ``rows`` output rows;
+    ``finish(sums, i1, i2)`` maps the (rows, nseg) stacked sums to the
+    fitted od.  Exposing the decomposition lets the candidate-sweep kernel
+    reduce fit operands AND truth fluxes in ONE pass over the spectrum."""
     w_num = planck_hl[1:]   # weights at layer base (ref :61-63)
     nlay = metric.shape[0]
 
-    def weighted_mean():
-        # Numerator and denominator stacked into ONE interval reduction:
-        # each reduction matmul costs a full K=nwav MXU pass regardless of
-        # row count, so stacking halves the sweep's reduction passes.
-        sums = interval_sum(jnp.concatenate([metric * w_num, w_num], axis=0),
-                            i1, i2)
-        return sums[:nlay] / sums[nlay:]
+    if averaging_method in ("linear", "transmission", "transmission-2",
+                            "square-root"):
+        parts = [part_of(metric, w_num), part_of(w_num)]
 
-    if averaging_method == "linear":
-        return weighted_mean()
-    if averaging_method in ("transmission", "transmission-2"):
-        scale = _METHOD_SCALE[averaging_method]
-        mean = jnp.minimum(_trans_clamp(metric.dtype), weighted_mean())
-        return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
-    if averaging_method == "square-root":
-        fit = weighted_mean()
-        return fit * fit
+        def finish(sums, i1, i2):
+            mean = sums[:nlay] / sums[nlay:2 * nlay]
+            if averaging_method == "linear":
+                return mean
+            if averaging_method == "square-root":
+                return mean * mean
+            scale = _METHOD_SCALE[averaging_method]
+            mean = jnp.minimum(_trans_clamp(metric.dtype), mean)
+            return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+
+        return parts, 2 * nlay, finish
+
     if averaging_method == "logarithmic":
-        return _log_fit(metric, w_num, planck_hl[:-1], i1, i2)
+        return _log_fit_parts(metric, w_num, planck_hl[:-1])
     raise ValueError(f"Averaging method {averaging_method!r} not understood")
 
 
@@ -102,57 +115,86 @@ def fit_optical_depth_sw(averaging_method, ssi, metric, i1, i2):
 
     Ref fit_optical_depth_sw (find_g_points.cpp:113-168).
     """
+    parts, rows, finish = fit_parts_sw(averaging_method, ssi, metric)
+    sums = interval_sum_fused(parts, metric.shape[-1], i1, i2,
+                              dtype=metric.dtype)
+    return finish(sums, i1, i2)
+
+
+def fit_parts_sw(averaging_method, ssi, metric):
+    """Decomposed SW interval fit (see :func:`fit_parts_lw`)."""
     nlay = metric.shape[0]
     if averaging_method in ("linear", "transmission", "transmission-2",
                             "square-root"):
-        # SSI row stacked with the weighted metric: one reduction pass
-        sums = interval_sum(
-            jnp.concatenate(
-                [metric * ssi,
-                 jnp.broadcast_to(ssi, metric.shape[-1:])[None, :]],
-                axis=0), i1, i2)
-        wsum_m, wsum = sums[:nlay], sums[nlay]
-        norm = 1.0 / wsum
-    if averaging_method == "linear":
-        return wsum_m * norm
-    if averaging_method in ("transmission", "transmission-2"):
-        scale = _METHOD_SCALE[averaging_method]
-        # NOTE: clamp applied before normalization, as in the reference
-        mean = jnp.minimum(_trans_clamp(metric.dtype), wsum_m) * norm
-        return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
-    if averaging_method == "square-root":
-        fit = wsum_m * norm
-        return fit * fit
+        parts = [part_of(metric, ssi), part_of(ssi)]
+
+        def finish(sums, i1, i2):
+            wsum_m, wsum = sums[:nlay], sums[nlay]
+            norm = 1.0 / wsum
+            if averaging_method == "linear":
+                return wsum_m * norm
+            if averaging_method == "square-root":
+                fit = wsum_m * norm
+                return fit * fit
+            scale = _METHOD_SCALE[averaging_method]
+            # NOTE: clamp applied before normalization, as in the reference
+            mean = jnp.minimum(_trans_clamp(metric.dtype), wsum_m) * norm
+            return jnp.abs(-jnp.log1p(-mean) / (LW_DIFFUSIVITY * scale))
+
+        return parts, nlay + 1, finish
+
     if averaging_method in ("logarithmic", "total-transmission"):
-        ssi2d = jnp.broadcast_to(ssi, metric.shape)
-        return _log_fit(metric, ssi2d, ssi2d, i1, i2)
+        return _log_fit_parts(metric, ssi, ssi)
     raise ValueError(f"Averaging method {averaging_method!r} not understood")
 
 
-def _log_fit(metric, w_num, w_den, i1, i2):
-    """Logarithmic average handling zeros (ref find_g_points.cpp:80-110).
+def _log_fit_parts(metric, w_num, w_den):
+    """Logarithmic average handling zeros (ref find_g_points.cpp:80-110)
+    as a fused-reduction decomposition.
 
     Pure log-average over nonzero entries, scaled by the nonzero fraction
-    when some entries are zero; zero when all are zero.
+    when some entries are zero; zero when all are zero.  The three
+    reductions (log-weighted sum, nonzero-masked denominator weights,
+    nonzero count) are built per tile from the raw operands — the log/mask
+    temporaries never hit HBM.
     """
-    nonzero = metric > 0.0
-    log_m = jnp.where(nonzero, jnp.log(jnp.where(nonzero, metric, 1.0)), 0.0)
-    sum_log = interval_sum(log_m * w_num * nonzero, i1, i2)
-    sum_w_num_nz = interval_sum(w_num * nonzero, i1, i2)
-    sum_w_den_nz = interval_sum(jnp.broadcast_to(w_den, metric.shape)
-                                * nonzero, i1, i2)
-    count_nz = interval_sum(nonzero.astype(metric.dtype), i1, i2)
-    count_all = (i2 - i1 + 1).astype(metric.dtype)
+    nlay = metric.shape[0]
+    w_num = jnp.asarray(w_num)
+    w_den = jnp.asarray(w_den)
 
-    all_nonzero = count_nz >= count_all
-    none_nonzero = count_nz <= 0.0
-    # Pure case denominator uses w_den over *nonzero* columns because when all
-    # are nonzero iindex == index (ref :86-87 uses planck_hl(iz,iindex)).
-    denom = jnp.where(none_nonzero, 1.0, sum_w_den_nz)
-    fit = jnp.exp(sum_log / denom)
-    frac = count_nz / count_all
-    fit = jnp.where(all_nonzero, fit, fit * frac)
-    return jnp.where(none_nonzero, 0.0, fit)
+    def rows2d(a, start, size):
+        sl = jax.lax.dynamic_slice_in_dim(a, start, size, axis=a.ndim - 1)
+        return sl[None, :] if a.ndim == 1 else sl
+
+    def log_part(start, size):
+        m = jax.lax.dynamic_slice_in_dim(metric, start, size, axis=-1)
+        wn = rows2d(w_num, start, size)
+        wd = rows2d(w_den, start, size)
+        nonzero = m > 0.0
+        nz = nonzero.astype(m.dtype)
+        log_m = jnp.where(nonzero, jnp.log(jnp.where(nonzero, m, 1.0)), 0.0)
+        return jnp.concatenate(
+            [log_m * wn * nz,
+             jnp.broadcast_to(wd, m.shape) * nz, nz], axis=0)
+
+    def finish(sums, i1, i2):
+        sum_log = sums[:nlay]
+        sum_w_den_nz = sums[nlay:2 * nlay]
+        count_nz = sums[2 * nlay:3 * nlay]
+        count_all = (i2 - i1 + 1).astype(metric.dtype)
+
+        all_nonzero = count_nz >= count_all
+        none_nonzero = count_nz <= 0.0
+        # Pure case denominator uses w_den over *nonzero* columns because
+        # when all are nonzero iindex == index (ref :86-87 uses
+        # planck_hl(iz,iindex)).
+        denom = jnp.where(none_nonzero, 1.0, sum_w_den_nz)
+        fit = jnp.exp(sum_log / denom)
+        frac = count_nz / count_all
+        fit = jnp.where(all_nonzero, fit, fit * frac)
+        return jnp.where(none_nonzero, 0.0, fit)
+
+    return [log_part], 3 * nlay, finish
 
 
 def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):

@@ -55,23 +55,33 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
     # systolic array; separate per-direction M=51 matmuls waste half).
     trans_dn = jnp.exp(minus_sec * od)
     flux = cos_sza * ssi_ref[0, :]
-    dn_rows = [flux]
-    for lay in range(nlay):
-        flux = flux * trans_dn[lay]
-        dn_rows.append(flux)
 
     if with_up:
+        # Both sweeps are pure transmittance products; running the upward
+        # product from 1 (scaled afterwards by the surface boundary
+        # albedo*dn_surf) makes the two chains INDEPENDENT — one mul each
+        # per step, interleaved by the unroll, instead of a dn-then-up
+        # serial pair (see sweep_lw for the same chain-latency argument).
         trans_up = jnp.exp(-SW_DIFFUSE_SECANT * od)
-        flux = flux * albedo
-        up_rows = [None] * (nlay + 1)
-        up_rows[nlay] = flux
-        for lay in range(nlay - 1, -1, -1):
-            flux = flux * trans_up[lay]
-            up_rows[lay] = flux
-        both = _split_dot(jnp.stack(dn_rows + up_rows), member)
+        a = jnp.ones((tile,), od.dtype)
+        dn_rows = [flux]
+        a_rows = [None] * (nlay + 1)
+        a_rows[nlay] = a
+        for k in range(nlay):
+            up_lay = nlay - 1 - k
+            flux = flux * trans_dn[k]
+            a = a * trans_up[up_lay]
+            dn_rows.append(flux)
+            a_rows[up_lay] = a
+        up = (albedo * flux)[None, :] * jnp.stack(a_rows)
+        both = _split_dot(jnp.concatenate([jnp.stack(dn_rows), up]), member)
         fd_ref[:, :] += both[: nlay + 1]
         fu_ref[:, :] += both[nlay + 1:]
     else:
+        dn_rows = [flux]
+        for lay in range(nlay):
+            flux = flux * trans_dn[lay]
+            dn_rows.append(flux)
         fd_ref[:, :] += _split_dot(jnp.stack(dn_rows), member)
 
 

@@ -11,8 +11,105 @@ number of intervals, fully parallel, no scatters.
 
 from __future__ import annotations
 
+from typing import Callable, Sequence
+
 import jax
 import jax.numpy as jnp
+
+
+def _member_dot(v, member):
+    """``v @ member`` where ``member`` contains only exact 0/1 values.
+
+    On TPU, f32 matmuls at Precision.DEFAULT truncate BOTH operands to
+    bfloat16 (one MXU pass, ~2^-8 relative error on the data).  Because the
+    membership matrix is exactly representable in bf16, splitting the data
+    into hi = bf16(v) and lo = bf16(v - hi) makes every product exact: two
+    MXU passes, ~2^-17 truncation error (same trick as
+    ops/pallas/sweep_lw._split_dot).  Other dtypes/backends use a plain
+    matmul (f32/f64 on CPU are exact to their own precision)."""
+    if v.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        bf = jnp.bfloat16
+        v_hi = v.astype(bf)
+        v_lo = (v - v_hi.astype(v.dtype)).astype(bf)
+        m_bf = member.astype(bf)
+        return (jnp.matmul(v_hi, m_bf, preferred_element_type=v.dtype)
+                + jnp.matmul(v_lo, m_bf, preferred_element_type=v.dtype))
+    return jnp.matmul(v, member.astype(v.dtype),
+                      preferred_element_type=v.dtype)
+
+
+def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
+                       dtype=None, tile: int = 8192):
+    """Stacked interval sums with per-tile operand construction.
+
+    Each element of ``parts`` is a callable ``part(start, size) ->
+    (rows, size)`` returning its block of operand rows for the wavenumber
+    range [start, start+size) — typically a ``lax.dynamic_slice_in_dim`` of
+    a bound array, possibly combined elementwise with others (weights,
+    masks, logs).  The blocks of all parts are reduced against ONE
+    (size, nseg) membership matrix per tile, so arbitrarily many weighted
+    reductions share a single pass over the spectrum and NOTHING of size n
+    is ever materialized beyond the inputs themselves: no concatenated
+    copies, no padded/transposed relayouts (at nwav ~ 10^6 and ~100 rows
+    those copies are multi-GB of HBM traffic per sweep, several times the
+    mandatory input reads).
+
+    Args:
+      parts: callables producing (rows_k, size) blocks; 1-D producers must
+        return (1, size).
+      n: length of the reduced axis (static).
+      i1, i2: (nseg,) inclusive interval bounds.
+      dtype: accumulator dtype (default: dtype of the first part's block).
+
+    Returns:
+      (sum(rows_k), nseg) stacked per-interval sums, parts in order.
+    """
+    i1 = jnp.asarray(i1, jnp.int32)
+    i2 = jnp.asarray(i2, jnp.int32)
+    nseg = i1.shape[0]
+
+    def block(start, size):
+        rows = [p(start, size) for p in parts]
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+    if dtype is None:
+        dtype = jax.eval_shape(lambda: block(0, min(tile, n))).dtype
+
+    def reduce_tile(start, size):
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (size, nseg), 0)
+               + start)
+        member = (idx >= i1[None, :]) & (idx <= i2[None, :])
+        return _member_dot(block(start, size).astype(dtype), member)
+
+    nfull = n // tile
+    rem = n - nfull * tile
+    out_rows = jax.eval_shape(lambda: block(0, min(tile, n))).shape[0]
+    acc = jnp.zeros((out_rows, nseg), dtype)
+    if nfull == 1 and rem == 0:
+        return reduce_tile(0, n)
+    if nfull > 0:
+        acc = jax.lax.fori_loop(
+            0, nfull,
+            lambda k, a: a + reduce_tile(k * tile, tile), acc)
+    if rem:
+        acc = acc + reduce_tile(nfull * tile, rem)
+    return acc
+
+
+def part_of(*arrays):
+    """Fused-reduction part: the elementwise product of ``arrays`` (each
+    (rows, n) or (n,); 1-D arrays broadcast across rows), sliced per tile.
+    With one array this is a plain row block."""
+    def part(start, size):
+        out = None
+        for a in arrays:
+            a = jnp.asarray(a)
+            sl = jax.lax.dynamic_slice_in_dim(a, start, size, axis=a.ndim - 1)
+            if a.ndim == 1:
+                sl = sl[None, :]
+            out = sl if out is None else out * sl
+        return out
+    return part
 
 
 def interval_sum(values, i1, i2, tile: int = 8192):
@@ -32,33 +129,12 @@ def interval_sum(values, i1, i2, tile: int = 8192):
       (..., nseg) per-interval sums.
     """
     v = jnp.asarray(values)
-    i1 = jnp.asarray(i1, jnp.int32)
-    i2 = jnp.asarray(i2, jnp.int32)
     n = v.shape[-1]
-    nseg = i1.shape[0]
-    if n <= tile:
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n, nseg), 0)
-        member = ((idx >= i1[None, :]) & (idx <= i2[None, :])).astype(v.dtype)
-        return jnp.matmul(v, member, preferred_element_type=v.dtype)
-
-    ntile = -(-n // tile)
-    pad = ntile * tile - n
-    v_p = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
-    v_t = jnp.moveaxis(v_p.reshape(v.shape[:-1] + (ntile, tile)), -2, 0)
-    bases = jnp.arange(ntile, dtype=jnp.int32) * tile
-    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0)
-
-    def body(acc, xs):
-        v_tile, base = xs
-        idx = tile_iota + base
-        member = ((idx >= i1[None, :])
-                  & (idx <= i2[None, :])).astype(v.dtype)
-        return acc + jnp.matmul(v_tile, member,
-                                preferred_element_type=v.dtype), None
-
-    init = jnp.zeros(v.shape[:-1] + (nseg,), v.dtype)
-    out, _ = jax.lax.scan(body, init, (v_t, bases))
-    return out
+    lead = v.shape[:-1]
+    v2 = v.reshape((-1, n))
+    out = interval_sum_fused([part_of(v2)], n, i1, i2, dtype=v.dtype,
+                             tile=tile)
+    return out.reshape(lead + (out.shape[-1],))
 
 
 def interval_count(mask, i1, i2, dtype=None):

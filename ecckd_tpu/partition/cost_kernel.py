@@ -22,12 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import HR_WEIGHT
-from ..ops.average import (fit_optical_depth_lw, fit_optical_depth_sw,
+from ..ops.average import (fit_parts_lw, fit_parts_sw,
                            fit_optical_depth_sw_total_trans)
 from ..ops.heating_rate import heating_rate
 from ..ops.rt_lw import rt_lw_bb_intervals
 from ..ops.rt_sw import rt_sw_bb_intervals
-from ..ops.segments import interval_sum
+from ..ops.segments import interval_sum_fused, part_of
 from .equipartition import Equipartition
 
 
@@ -103,8 +103,20 @@ class CandidateCostLw:
     def _kernel(self, arrays, i1, i2, seg_of_wav):
         (layer_weight, pressure_hl, surf_emissivity, surf_planck,
          flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = arrays
-        od_fit = fit_optical_depth_lw(self.averaging_method, planck_hl,
-                                      metric, i1, i2)
+        # Fit operands and truth reductions share ONE pass over the
+        # spectrum: each fused-reduction tile reads its operand block once
+        # and reduces everything against the same membership matmul.
+        nlay = hr.shape[0]
+        parts, rows, finish = fit_parts_lw(self.averaging_method, planck_hl,
+                                           metric)
+        sums = interval_sum_fused(
+            parts + [part_of(hr), part_of(flux_dn_surf),
+                     part_of(flux_up_toa)],
+            metric.shape[-1], i1, i2, dtype=metric.dtype)
+        od_fit = finish(sums[:rows], i1, i2)
+        hr_true = sums[rows:rows + nlay]
+        fd_surf_true = sums[rows + nlay]
+        fu_toa_true = sums[rows + nlay + 1]
         if self.use_pallas:
             from ..ops.pallas.sweep_lw import rt_lw_bb_intervals_pallas
             flux_dn, flux_up = rt_lw_bb_intervals_pallas(
@@ -114,15 +126,6 @@ class CandidateCostLw:
             grey = jnp.take(od_fit, seg_of_wav, axis=1)
             flux_dn, flux_up = rt_lw_bb_intervals(
                 planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
-        # All three truth reductions in one matmul pass (each reduction
-        # costs a full K=nwav MXU pass regardless of row count)
-        nlay = hr.shape[0]
-        truth = interval_sum(
-            jnp.concatenate([hr, flux_dn_surf[None, :],
-                             flux_up_toa[None, :]], axis=0), i1, i2)
-        hr_true = truth[:nlay]
-        fd_surf_true = truth[nlay]
-        fu_toa_true = truth[nlay + 1]
         return _candidate_cost_from_fluxes(
             pressure_hl, layer_weight, self.flux_weight,
             flux_dn, flux_up, hr_true, fd_surf_true, fu_toa_true)
@@ -186,7 +189,7 @@ class CandidateCostSw:
                 self.metric, self.hr, self.extras)
 
     def _cost_with(self, arrs, od_fit, seg_of_wav, i1, i2,
-                   flux_dn_surf, flux_up_toa, hr):
+                   hr_true, fd_surf_true, fu_toa_true):
         (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
         with_up = self.surf_albedo > 0.0
         if self.use_pallas:
@@ -200,13 +203,6 @@ class CandidateCostSw:
             flux_dn, flux_up = rt_sw_bb_intervals(
                 self.cos_sza, ssi, bg_od, grey,
                 self.surf_albedo, i1, i2, with_upwelling=with_up)
-        nlay = hr.shape[0]
-        truth = interval_sum(
-            jnp.concatenate([hr, flux_dn_surf[None, :],
-                             flux_up_toa[None, :]], axis=0), i1, i2)
-        hr_true = truth[:nlay]
-        fd_surf_true = truth[nlay]
-        fu_toa_true = truth[nlay + 1]
         # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
         hr_fit = heating_rate(pressure_hl, flux_dn)
         hr_err = hr_fit - hr_true
@@ -220,22 +216,37 @@ class CandidateCostSw:
     def _kernel(self, arrs, i1, i2, seg_of_wav):
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
          extras) = arrs
+        nwav = metric.shape[-1]
+        nlay = hr.shape[0]
+        truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
         if self.averaging_method == "total-transmission":
             ex = extras
             od_fit = fit_optical_depth_sw_total_trans(
                 ssi, bg_od, metric, i1, i2)
+            # Both scaled costs' truth reductions share one spectral pass
+            sums = interval_sum_fused(
+                truth_of(ex["hr_low"], ex["flux_dn_surf_low"],
+                         ex["flux_up_toa_low"])
+                + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
+                           ex["flux_up_toa_high"]),
+                nwav, i1, i2, dtype=metric.dtype)
+            lo, hi = sums[:nlay + 2], sums[nlay + 2:]
             cf_low = self._cost_with(
                 arrs, od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
-                ex["flux_dn_surf_low"], ex["flux_up_toa_low"], ex["hr_low"])
+                lo[:nlay], lo[nlay], lo[nlay + 1])
             cf_high = self._cost_with(
                 arrs, od_fit * ex["max_scaling"], seg_of_wav, i1, i2,
-                ex["flux_dn_surf_high"], ex["flux_up_toa_high"],
-                ex["hr_high"])
+                hi[:nlay], hi[nlay], hi[nlay + 1])
             return 0.5 * (cf_low + cf_high)
-        od_fit = fit_optical_depth_sw(self.averaging_method, ssi,
-                                      metric, i1, i2)
+        parts, rows, finish = fit_parts_sw(self.averaging_method, ssi,
+                                           metric)
+        sums = interval_sum_fused(
+            parts + truth_of(hr, flux_dn_surf, flux_up_toa),
+            nwav, i1, i2, dtype=metric.dtype)
+        od_fit = finish(sums[:rows], i1, i2)
         return self._cost_with(arrs, od_fit, seg_of_wav, i1, i2,
-                               flux_dn_surf, flux_up_toa, hr)
+                               sums[rows:rows + nlay], sums[rows + nlay],
+                               sums[rows + nlay + 1])
 
     def costs(self, i1: np.ndarray, i2: np.ndarray,
               seg_of_wav: np.ndarray) -> np.ndarray:
