@@ -208,18 +208,27 @@ def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
     Returns (nlay, nseg).
     """
     sec = 2.0
+    nlay = od.shape[0]
+    n = od.shape[-1]
+    ssi = jnp.asarray(ssi)
 
-    def step(carry, xs):
-        bg_flux, flux = carry
-        bg_od_lay, od_lay = xs
-        bg_flux = bg_flux * jnp.exp(-sec * bg_od_lay)
-        flux = flux * jnp.exp(-sec * (bg_od_lay + od_lay))
-        return (bg_flux, flux), (interval_sum(bg_flux, i1, i2),
-                                 interval_sum(flux, i1, i2))
+    def levels_part(start, size):
+        """All per-level direct fluxes of a wavenumber tile at once: the
+        layer recurrence is a cumulative sum of optical depths (tiny axis,
+        nlay ~ 50), so one tile read yields every flux row — no scan with
+        full-spectrum carries, no per-layer reduction passes."""
+        ssi_t = jax.lax.dynamic_slice_in_dim(ssi, start, size, 0)[None, :]
+        bg_t = jax.lax.dynamic_slice_in_dim(bg_od, start, size, axis=-1)
+        od_t = jax.lax.dynamic_slice_in_dim(od, start, size, axis=-1)
+        bg_flux = ssi_t * jnp.exp(-sec * jnp.cumsum(bg_t, axis=0))
+        flux = ssi_t * jnp.exp(-sec * jnp.cumsum(bg_t + od_t, axis=0))
+        return jnp.concatenate([ssi_t, bg_flux, flux], axis=0)
 
-    ssi_b = jnp.broadcast_to(ssi, od.shape[-1:])
-    top = interval_sum(ssi_b, i1, i2)
-    _, (bb_bg, bb) = jax.lax.scan(step, (ssi_b, ssi_b), (bg_od, od))
+    sums = interval_sum_fused([levels_part, part_of(od, ssi)], n, i1, i2,
+                              dtype=od.dtype)
+    top = sums[0]
+    bb_bg = sums[1:nlay + 1]
+    bb = sums[nlay + 1:2 * nlay + 1]
     bb_bg_above = jnp.concatenate([top[None], bb_bg[:-1]], axis=0)
     bb_above = jnp.concatenate([top[None], bb[:-1]], axis=0)
 
@@ -229,7 +238,7 @@ def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
     bg_fit = -0.5 * jnp.log(safe_bg / jnp.maximum(bb_bg_above, 1e-300))
     fit = -0.5 * jnp.log(safe / jnp.maximum(bb_above, 1e-300)) - bg_fit
 
-    linear = interval_sum(od * ssi_b, i1, i2) / top
+    linear = sums[2 * nlay + 1:] / top
     any_bad = jnp.any(~ok, axis=0)          # (nseg,)
     return jnp.where(any_bad[None, :], linear, fit)
 
