@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import LW_DIFFUSIVITY
-from .segments import interval_sum
+from .segments import interval_sum, interval_sum_fused
 
 # Below this emissivity the linear-in-planck "factor" is replaced by its
 # small-od limit (ref radiative_transfer_lw.cpp:42, :104)
@@ -165,70 +165,56 @@ def rt_lw_bb_intervals(planck_hl, bg_od, grey_od_wav,
     Returns:
       (flux_dn, flux_up), each (nlev+1, nseg).
     """
-    total_od = bg_od + grey_od_wav
-    emissivity, factor = _emissivity_factor_bb(total_od)
-    trans = 1.0 - emissivity
+    # The whole sweep is ONE fused-reduction part (ops.segments
+    # interval_sum_fused): per wavenumber tile the full down+up recurrence
+    # runs on in-register slices and the (2*(nlev+1), tile) flux rows are
+    # reduced immediately against the shared membership matmul.  Nothing of
+    # size nwav is ever materialized beyond the inputs (the former
+    # "materialized" strategy wrote ~GBs of emissivity/factor/flux-row
+    # temporaries per sweep at CKDMIP scale; the former in-scan strategy
+    # paid a full HBM round trip of (nwav,) carries per layer).  Same
+    # 3-independent-chain recurrence shape as the Pallas kernel
+    # (ops/pallas/sweep_lw.py): hoisted source terms, upward sweep affine
+    # in its surface boundary.  `materialize` is accepted for backward
+    # compatibility and ignored.
+    del materialize
+    nlay = bg_od.shape[0]
+    n = bg_od.shape[-1]
+    dtype = jnp.asarray(planck_hl).dtype
 
-    # Two execution strategies with identical numerics (the interval
-    # reduction is applied row-by-row with the same tiling either way):
-    #   materialized — the scan emits the spectral flux rows, then ONE
-    #     (nlev+1, nwav)@(nwav, nseg) membership matmul per sweep direction
-    #     reduces them on the MXU.  ~nlay fewer small matmuls and membership
-    #     rebuilds than the in-scan form; costs (nlev+1, nwav) of HBM.
-    #   in-scan — the reference's memory-lean `_bb` shape
-    #     (radiative_transfer_lw.cpp:83-104): reduce each level inside the
-    #     scan, never holding more than one (nwav,) flux row.
-    if materialize is None:
-        materialize = 2 * planck_hl.size * planck_hl.dtype.itemsize < (2 << 30)
+    def flux_part(start, size):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size,
+                                                    axis=a.ndim - 1)
+        p = sl(planck_hl)
+        od = sl(bg_od) + sl(grey_od_wav)
+        se = sl(surf_emissivity)
+        sp = sl(surf_planck)
+        emissivity, factor = _emissivity_factor_bb(od)
+        trans = 1.0 - emissivity
+        coeff_top = emissivity - factor          # == 1 - trans - factor
+        src_dn = p[:-1] * coeff_top + p[1:] * factor
+        src_up = p[1:] * coeff_top + p[:-1] * factor
 
-    if materialize:
-        def down_step(flux, xs):
-            t, p_top, p_base, f = xs
-            new = flux * t + p_top * (1.0 - t - f) + p_base * f
-            return new, new
+        flux_dn = jnp.zeros((size,), dtype)
+        b = jnp.zeros((size,), dtype)
+        a = jnp.ones((size,), dtype)
+        dn_rows = [flux_dn]
+        b_rows = [None] * (nlay + 1)
+        a_rows = [None] * (nlay + 1)
+        b_rows[nlay] = b
+        a_rows[nlay] = a
+        for k in range(nlay):
+            up_lay = nlay - 1 - k
+            flux_dn = flux_dn * trans[k] + src_dn[k]
+            b = b * trans[up_lay] + src_up[up_lay]
+            a = a * trans[up_lay]
+            dn_rows.append(flux_dn)
+            b_rows[up_lay] = b
+            a_rows[up_lay] = a
 
-        top = jnp.zeros_like(planck_hl[0])
-        flux_surf_spec, dn_rows = jax.lax.scan(
-            down_step, top, (trans, planck_hl[:-1], planck_hl[1:], factor))
-        surf = (surf_planck * surf_emissivity
-                + (1.0 - surf_emissivity) * flux_surf_spec)
+        boundary = sp * se + (1.0 - se) * flux_dn
+        up = jnp.stack(b_rows) + boundary[None, :] * jnp.stack(a_rows)
+        return jnp.concatenate([jnp.stack(dn_rows), up], axis=0)
 
-        def up_step(flux, xs):
-            t, p_top, p_base, f = xs
-            new = flux * t + p_base * (1.0 - t - f) + p_top * f
-            return new, new
-
-        _, up_rows = jax.lax.scan(
-            up_step, surf, (trans, planck_hl[:-1], planck_hl[1:], factor),
-            reverse=True)
-        flux_dn = interval_sum(
-            jnp.concatenate([top[None], dn_rows], axis=0), i1, i2)
-        flux_up = interval_sum(
-            jnp.concatenate([up_rows, surf[None]], axis=0), i1, i2)
-        return flux_dn, flux_up
-
-    def down_step(flux, xs):
-        t, p_top, p_base, f = xs
-        new = flux * t + p_top * (1.0 - t - f) + p_base * f
-        return new, interval_sum(new, i1, i2)
-
-    top = jnp.zeros_like(planck_hl[0])
-    flux_surf_spec, dn_sums = jax.lax.scan(
-        down_step, top, (trans, planck_hl[:-1], planck_hl[1:], factor))
-    flux_dn = jnp.concatenate(
-        [jnp.zeros((1, dn_sums.shape[1]), dn_sums.dtype), dn_sums], axis=0)
-
-    surf = (surf_planck * surf_emissivity
-            + (1.0 - surf_emissivity) * flux_surf_spec)
-
-    def up_step(flux, xs):
-        t, p_top, p_base, f = xs
-        new = flux * t + p_base * (1.0 - t - f) + p_top * f
-        return new, interval_sum(new, i1, i2)
-
-    _, up_sums = jax.lax.scan(
-        up_step, surf, (trans, planck_hl[:-1], planck_hl[1:], factor),
-        reverse=True)
-    flux_up = jnp.concatenate([up_sums, interval_sum(surf, i1, i2)[None]],
-                              axis=0)
-    return flux_dn, flux_up
+    sums = interval_sum_fused([flux_part], n, i1, i2, dtype=dtype)
+    return sums[:nlay + 1], sums[nlay + 1:]

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import SW_DIFFUSE_SECANT
-from .segments import interval_sum
+from .segments import interval_sum, interval_sum_fused
 
 
 def rt_direct_sw(cos_sza, ssi, od):
@@ -98,56 +98,38 @@ def rt_sw_bb_intervals(cos_sza, ssi, bg_od, grey_od_wav, albedo, i1, i2,
     ``with_upwelling`` is False (albedo <= 0 in the reference,
     calc_cost_function_sw.cpp:59-88).
     """
+    # One fused-reduction part per sweep (see rt_lw.rt_lw_bb_intervals):
+    # per wavenumber tile the per-level direct fluxes follow from a
+    # cumulative sum of od over the (tiny) layer axis, the upward product
+    # chain runs from 1 and is scaled by the surface boundary afterwards,
+    # and all (2*(nlev+1), tile) rows reduce against one membership matmul.
+    # No nwav-sized temporaries, no per-layer reduction passes.
+    # `materialize` is accepted for backward compatibility and ignored.
+    del materialize
     minus_sec = -1.0 / cos_sza
-    total_od = bg_od + grey_od_wav
-    top = cos_sza * ssi
+    nlay = bg_od.shape[0]
+    n = bg_od.shape[-1]
+    ssi = jnp.asarray(ssi)
+    dtype = ssi.dtype
 
-    # Same two strategies as rt_lw_bb_intervals: materialize the spectral
-    # flux rows and reduce with one big MXU matmul per direction, or reduce
-    # in-scan (the reference's memory-lean shape).  Identical numerics.
-    if materialize is None:
-        nlev1 = total_od.shape[0] + 1
-        materialize = (2 * nlev1 * total_od.shape[-1]
-                       * total_od.dtype.itemsize) < (2 << 30)
-
-    if materialize:
-        def dn_step(flux, od_lay):
-            new = flux * jnp.exp(minus_sec * od_lay)
-            return new, new
-
-        surf_spec, dn_rows = jax.lax.scan(dn_step, top, total_od)
-        flux_dn = interval_sum(
-            jnp.concatenate([top[None], dn_rows], axis=0), i1, i2)
+    def flux_part(start, size):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size,
+                                                    axis=a.ndim - 1)
+        od = sl(bg_od) + sl(grey_od_wav)
+        top = (cos_sza * sl(ssi))[None, :]
+        dn = top * jnp.exp(minus_sec * jnp.cumsum(od, axis=0))
+        dn_rows = jnp.concatenate([top, dn], axis=0)
         if not with_upwelling:
-            return flux_dn, jnp.zeros_like(flux_dn)
-        up_surf = surf_spec * albedo
+            return dn_rows
+        # cumulative transmittance from the surface upward; level nlay = 1
+        a = jnp.exp(-SW_DIFFUSE_SECANT
+                    * jnp.cumsum(od[::-1], axis=0))[::-1]
+        up = (albedo * dn[-1])[None, :] * jnp.concatenate(
+            [a, jnp.ones_like(top)], axis=0)
+        return jnp.concatenate([dn_rows, up], axis=0)
 
-        def up_step(flux, od_lay):
-            new = flux * jnp.exp(-SW_DIFFUSE_SECANT * od_lay)
-            return new, new
-
-        _, up_rows = jax.lax.scan(up_step, up_surf, total_od, reverse=True)
-        flux_up = interval_sum(
-            jnp.concatenate([up_rows, up_surf[None]], axis=0), i1, i2)
-        return flux_dn, flux_up
-
-    def dn_step(flux, od_lay):
-        new = flux * jnp.exp(minus_sec * od_lay)
-        return new, interval_sum(new, i1, i2)
-
-    surf_spec, dn = jax.lax.scan(dn_step, top, total_od)
-    flux_dn = jnp.concatenate([interval_sum(top, i1, i2)[None], dn], axis=0)
-
+    sums = interval_sum_fused([flux_part], n, i1, i2, dtype=dtype)
+    flux_dn = sums[:nlay + 1]
     if not with_upwelling:
         return flux_dn, jnp.zeros_like(flux_dn)
-
-    up_surf = surf_spec * albedo
-
-    def up_step(flux, od_lay):
-        new = flux * jnp.exp(-SW_DIFFUSE_SECANT * od_lay)
-        return new, interval_sum(new, i1, i2)
-
-    _, up = jax.lax.scan(up_step, up_surf, total_od, reverse=True)
-    flux_up = jnp.concatenate([up, interval_sum(up_surf, i1, i2)[None]],
-                              axis=0)
-    return flux_dn, flux_up
+    return flux_dn, sums[nlay + 1:]
