@@ -315,6 +315,70 @@ def build_train_step(ng=64, nt=6, npress=53, ncol=48, nlay=50,
     return step, x_tree
 
 
+def build_bench_shard(nwav, nlay, dtype=np.float32):
+    """Synthetic CKDMIP-scale spectral shard on disk (cached by size)."""
+    from ecckd_tpu.io.shards import write_shard
+    from ecckd_tpu.io.spectrum import Spectrum
+
+    path = f"/tmp/ecckd_bench_shard_{nwav}x{nlay}.spbin"
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(0)
+    pressure_hl = np.exp(np.linspace(np.log(100.0), np.log(1.0e5),
+                                     nlay + 1))
+    wav = np.linspace(10.0, 3000.0, nwav)
+    k = np.sort(10.0 ** rng.uniform(-4, 2, nwav)).astype(dtype)
+    col = ((pressure_hl[1:] - pressure_hl[:-1])
+           / pressure_hl[-1]).astype(dtype)
+    od = col[:, None] * k[None, :]
+    od[od < 1e-4] = 0.0  # exercise the logarithmic zero-od branch
+    spec = Spectrum(
+        pressure_hl=pressure_hl,
+        temperature_hl=np.linspace(210.0, 290.0, nlay + 1),
+        wavenumber=wav, d_wavenumber=np.full(nwav, wav[1] - wav[0]),
+        optical_depth=od, molecule="bench")
+    return write_shard(path, spec, dtype=dtype)
+
+
+def run_streaming_bench(device, nwav, nlay, ng=64, block_wav=1 << 18,
+                        averaging_method="logarithmic"):
+    """CKDMIP-scale streaming g-point averaging: double-buffered native
+    shard reads overlapping device accumulation — the pass whose disk reads
+    dominate the reference's wall clock (create_look_up_table.cpp:242-340,
+    doc/ecckd_documentation.tex:225-228).  The warm pass leaves the shard
+    in the OS page cache, so the timed number is the host->device
+    streaming + reduction throughput (the bound disk cannot inflate).
+    Uses the logarithmic method — the reference's production LW choice
+    (test/create_lut_lw.sh:26-31)."""
+    import jax
+    from ecckd_tpu.io.shards import ShardReader
+    from ecckd_tpu.ops.streaming import streaming_average_od_to_gpoints
+    from ecckd_tpu.ops import planck_function
+
+    path = build_bench_shard(nwav, nlay)
+    edges = np.linspace(0, nwav, ng + 1).astype(np.int64)
+    g_point = np.repeat(np.arange(ng, dtype=np.int32), np.diff(edges))
+    with ShardReader(path) as reader:
+        t_fl = 0.5 * (reader.temperature_hl[1:]
+                      + reader.temperature_hl[:-1])
+        planck_fl = np.asarray(planck_function(
+            t_fl, reader.wavenumber, reader.d_wavenumber),
+            np.float32)
+        weight_fn = lambda i0, nb: planck_fl[:, i0:i0 + nb]
+        pressure_fl = 0.5 * (reader.pressure_hl[1:]
+                             + reader.pressure_hl[:-1])
+        with jax.default_device(device):
+            args = (reader, ng, g_point, weight_fn, averaging_method)
+            kw = dict(block_wav=block_wav, pressure_fl=pressure_fl)
+            streaming_average_od_to_gpoints(*args, **kw)  # compile + warm
+            t0 = time.perf_counter()
+            od_fit, _, _ = streaming_average_od_to_gpoints(*args, **kw)
+            dt = time.perf_counter() - t0
+    if not np.all(np.isfinite(od_fit)):
+        raise RuntimeError("streaming bench produced non-finite od")
+    return nwav * nlay / dt
+
+
 def run_optimize_bench(device, n_iters):
     import jax
 
@@ -360,6 +424,24 @@ def main():
             "metric": "optimize_lut_seconds_per_iteration",
             "value": s_per_iter,
             "unit": "s/iter",
+            "vs_baseline": vs_baseline,
+        }))
+        return
+
+    if metric_mode == "streaming":
+        nwav = int(os.environ.get("BENCH_NWAV", 1 << 22))
+        throughput = run_streaming_bench(accel, nwav, NLAY)
+        vs_baseline = 1.0
+        try:
+            cpu = jax.devices("cpu")[0]
+            vs_baseline = throughput / run_streaming_bench(
+                cpu, min(nwav, 1 << 20), NLAY)
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "streaming_gpoint_average_wavenumber_bins_layers_per_s",
+            "value": throughput,
+            "unit": "bins*layers/s",
             "vs_baseline": vs_baseline,
         }))
         return

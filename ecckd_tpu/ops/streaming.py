@@ -16,18 +16,28 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import numpy as np
 
 from .average import (GPOINT_AVERAGING_METHODS, gpoint_block_partials,
                       finalize_gpoint_partials)
 
+# One compiled dispatch per block instead of ~10 eager ops: at ~50 ms
+# remote-TPU dispatch latency the eager form is latency-bound, not
+# bandwidth-bound.  ng and the method string are static; distinct block
+# shapes (the final partial block) compile separately and hit the cache
+# on subsequent profiles/gases.
+_block_partials_jit = jax.jit(gpoint_block_partials, static_argnums=(0, 4))
+
 
 def _block_accumulate(ng, g_point_block, od_block, weight_block,
                       averaging_method):
     """Partial sums for one wavenumber block -> dict of (nz, ng) np arrays."""
-    out = gpoint_block_partials(ng, g_point_block, od_block, weight_block,
-                                averaging_method)
-    return {k: np.asarray(v) for k, v in out.items()}
+    out = _block_partials_jit(ng, np.ascontiguousarray(g_point_block),
+                              od_block, np.ascontiguousarray(weight_block),
+                              averaging_method)
+    # Single batched device->host sync for the whole (tiny) partials dict.
+    return jax.device_get(out)
 
 
 def _combine(acc, part):
