@@ -320,7 +320,8 @@ def build_bench_shard(nwav, nlay, dtype=np.float32):
     from ecckd_tpu.io.shards import write_shard
     from ecckd_tpu.io.spectrum import Spectrum
 
-    path = f"/tmp/ecckd_bench_shard_{nwav}x{nlay}.spbin"
+    path = (f"/tmp/ecckd_bench_shard_{nwav}x{nlay}_"
+            f"{np.dtype(dtype).name}.spbin")
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(0)
@@ -348,8 +349,10 @@ def run_streaming_bench(device, nwav, nlay, ng=64, block_wav=1 << 18,
     doc/ecckd_documentation.tex:225-228).  The warm pass leaves the shard
     in the OS page cache, so the timed number is the host->device
     streaming + reduction throughput (the bound disk cannot inflate).
-    Uses the logarithmic method — the reference's production LW choice
-    (test/create_lut_lw.sh:26-31)."""
+    Uses the logarithmic method because it exercises the heaviest
+    accumulator path (per-block zero-od counting plus masked log sums,
+    average_optical_depth.cpp:120-170); the reference's default method is
+    'transmission' (create_look_up_table.cpp:245)."""
     import jax
     from ecckd_tpu.io.shards import ShardReader
     from ecckd_tpu.ops.streaming import streaming_average_od_to_gpoints
@@ -413,7 +416,7 @@ def main():
     metric_mode = os.environ.get("BENCH_METRIC", "")
     if metric_mode == "optimize":
         s_per_iter = run_optimize_bench(accel, max(N_ITERS, 20))
-        vs_baseline = 1.0
+        vs_baseline = None
         try:
             cpu = jax.devices("cpu")[0]
             cpu_s = run_optimize_bench(cpu, 20)
@@ -431,11 +434,16 @@ def main():
     if metric_mode == "streaming":
         nwav = int(os.environ.get("BENCH_NWAV", 1 << 22))
         throughput = run_streaming_bench(accel, nwav, NLAY)
-        vs_baseline = 1.0
+        # CPU baseline capped at 2^20 wavenumbers (a full-size host run
+        # takes minutes); the cap is recorded so the ratio is read as
+        # approximate.  A failed baseline reports vs_baseline=null rather
+        # than a fabricated 1.0.
+        cpu_nwav = min(nwav, 1 << 20)
+        vs_baseline = None
         try:
             cpu = jax.devices("cpu")[0]
             vs_baseline = throughput / run_streaming_bench(
-                cpu, min(nwav, 1 << 20), NLAY)
+                cpu, cpu_nwav, NLAY)
         except Exception:
             pass
         print(json.dumps({
@@ -443,6 +451,7 @@ def main():
             "value": throughput,
             "unit": "bins*layers/s",
             "vs_baseline": vs_baseline,
+            "baseline_nwav": cpu_nwav,
         }))
         return
 

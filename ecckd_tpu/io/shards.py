@@ -46,12 +46,16 @@ def write_shard(path: str, spectrum: Spectrum, dtype=np.float32):
                 if spectrum.vmr_fl is not None else None),
     )
     hjson = json.dumps(header).encode()
-    with open(path, "wb") as f:
+    # Write-then-rename so an interrupted write never leaves a truncated
+    # shard at the final path (callers cache shards by existence).
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(struct.pack("<q", len(hjson)))
         f.write(hjson)
         f.write(np.asarray(spectrum.wavenumber, np.float64).tobytes())
         f.write(np.asarray(spectrum.d_wavenumber, np.float64).tobytes())
         f.write(od_t.tobytes())
+    os.replace(tmp, path)
     return path
 
 

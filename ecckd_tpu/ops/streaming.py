@@ -33,8 +33,11 @@ _block_partials_jit = jax.jit(gpoint_block_partials, static_argnums=(0, 4))
 def _block_accumulate(ng, g_point_block, od_block, weight_block,
                       averaging_method):
     """Partial sums for one wavenumber block -> dict of (nz, ng) np arrays."""
-    out = _block_partials_jit(ng, np.ascontiguousarray(g_point_block),
-                              od_block, np.ascontiguousarray(weight_block),
+    # No ascontiguousarray anywhere: jnp.asarray copies host arrays into
+    # device buffers regardless of their strides, so forcing a contiguous
+    # host copy first (even of od_block, the large transposed view from
+    # ShardReader.read_block) would only add a second pass over the data.
+    out = _block_partials_jit(ng, g_point_block, od_block, weight_block,
                               averaging_method)
     # Single batched device->host sync for the whole (tiny) partials dict.
     return jax.device_get(out)
