@@ -386,7 +386,7 @@ def create_lut(cfg: Config, argv=()) -> str:
                                        wavenumber2)
 
     logs.log(f"Writing {output}")
-    config_str = cfg.serialize()
+    config_str = cfg.sprint()
     argv = list(argv) or ["create_lut"] + list(sys.argv[1:])
 
     if is_sw:

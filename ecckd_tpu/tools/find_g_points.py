@@ -797,7 +797,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
     w.write_attribute(" ".join(g.molecule for g in single_gas_data),
                       "constituent_id")
     w.append_history(argv or sys.argv)
-    w.write_attribute(cfg.serialize(), "config")
+    w.write_attribute(cfg.sprint(), "config")
 
     w.write(ngas, "n_gases")
     w.write(band_bound1, "wavenumber1_band")

@@ -101,7 +101,7 @@ def lw_spectra(cfg: Config, argv=()) -> str:
             w.write_units("W m-2", "spectral_flux_up_lw")
             w.append_history(argv or sys.argv)
             w.write_attribute(sp.molecule.replace(",", " "), "molecules")
-            w.write_attribute(cfg.serialize(), "config")
+            w.write_attribute(cfg.sprint(), "config")
             if not have_gpoints:
                 w.write(sp.wavenumber, "wavenumber")
 

@@ -53,7 +53,7 @@ def merge_spectra(cfg: Config, argv=()) -> str:
     w.write_attribute(title, "title")
     w.write_attribute("hybrid:" + molecules, "molecule")
     w.append_history(argv or sys.argv)
-    w.write_attribute(cfg.serialize(), "config")
+    w.write_attribute(cfg.sprint(), "config")
 
     w.write(sp.pressure_hl, "pressure_hl", index=icol)
     w.write(sp.temperature_hl, "temperature_hl", index=icol)

@@ -175,7 +175,7 @@ def optimize_lut(cfg: Config, argv=()) -> int:
     if remove_min_max:
         model.save_min_max = False
     model.write(output_file, argv=argv or sys.argv,
-                config_str=cfg.serialize())
+                config_str=cfg.sprint())
 
     if result.status == MinimizerStatus.INVALID_COST_FUNCTION:
         return 1

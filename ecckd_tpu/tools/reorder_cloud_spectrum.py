@@ -85,7 +85,7 @@ def reorder_cloud_spectrum(cfg: Config, argv=()) -> str:
     rank[g_index] = np.arange(nwav)
 
     logs.log(f"Writing {output}")
-    write_order(output, argv or sys.argv, "cloud", cfg.serialize(),
+    write_order(output, argv or sys.argv, "cloud", cfg.sprint(),
                 band_clamp1, band_clamp2, wavenumber, d_wavenumber,
                 iband, rank, None, abs_inf)
     return output

@@ -174,7 +174,7 @@ def reorder_spectrum(cfg: Config, argv=()) -> str:
     rank[g_index] = np.arange(nwav)
 
     logs.log(f"Writing {output_file}")
-    write_order(output_file, argv or sys.argv, molecule, cfg.serialize(),
+    write_order(output_file, argv or sys.argv, molecule, cfg.sprint(),
                 band_clamp1, band_clamp2, sp.wavenumber, sp.d_wavenumber,
                 iband, rank, column_od, sorting)
     return output_file

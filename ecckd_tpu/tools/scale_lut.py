@@ -101,7 +101,7 @@ def scale_lut(cfg: Config, argv=()) -> str:
     pressure_fl = 0.5 * (pressure_hl[:-1] + pressure_hl[1:])
     model.scale_optical_depth(pressure_fl, scaling)
     model.write(output_file, argv=argv or sys.argv,
-                config_str=cfg.serialize())
+                config_str=cfg.sprint())
     return output_file
 
 
