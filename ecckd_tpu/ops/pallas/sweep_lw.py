@@ -31,13 +31,23 @@ import numpy as np
 from ...constants import LW_DIFFUSIVITY
 
 # Wavenumber tile width. VMEM holds ~2 MB of per-tile state per 1024
-# lanes (bg_od/planck blocks + recurrence temporaries), so 2048 fits
-# comfortably in the ~16 MB budget while (a) amortizing the serial
-# dependency latency of the 2*nlay-step recurrence chain over 16 vregs
-# per step instead of 8 and (b) doubling the K dimension of the interval
-# reduction matmuls. Override with ECCKD_SWEEP_TILE (bench tuning).
+# lanes (bg_od/planck blocks + recurrence temporaries); larger tiles
+# amortize dependency latency and grow the K dimension of the interval
+# reduction matmuls. Measured on a v5e chip (scan form, nwav=2^20,
+# nlay=50, nseg=64): 4096 = 4.46 ms, 8192 = 4.40 ms, 2048 = 4.73 ms —
+# 4096 chosen (8192 is within noise but doubles VMEM pressure).
+# Override with ECCKD_SWEEP_TILE (bench tuning).
 import os as _os
-TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 2048))
+TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 4096))
+
+# Recurrence form: "scan" composes the per-layer affine flux maps with
+# log2(nlay) doubling steps over the full (nlay, tile) block — 2-D
+# shift/FMA work with no serial chain and no 1-D row stacking; "unroll"
+# is the static per-layer unroll (3 interleaved 1-D chains).  Measured on
+# a v5e chip at nwav=2^20/nlay=50/nseg=64 the scan form is 1.20x faster
+# (4.40 ms vs 5.26 ms per sweep, scripts/exp_kernels.py); both agree to
+# ~7e-7 relative in f32.
+FORM = _os.environ.get("ECCKD_SWEEP_FORM", "scan")
 
 
 def _split_dot(a, b01):
@@ -157,10 +167,128 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int,
     fu_ref[:, :] += both[nlay + 1:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _affine_scan_down(a, b, npad):
+    """Inclusive prefix composition of affine maps along axis 0.
+
+    P_i = f_i o f_{i-1} o ... o f_0 with f_i(x) = a[i] x + b[i]; returns
+    (A, B) with P_i(x) = A[i] x + B[i].  log2(npad) doubling steps, each a
+    shifted elementwise FMA over the whole (npad, tile) block — no serial
+    per-layer chain.
+    """
+    s = 1
+    while s < npad:
+        ash = jnp.concatenate([jnp.ones_like(a[:s]), a[:-s]], axis=0)
+        bsh = jnp.concatenate([jnp.zeros_like(b[:s]), b[:-s]], axis=0)
+        b = b + a * bsh
+        a = a * ash
+        s *= 2
+    return a, b
+
+
+def _affine_scan_up(a, b, npad):
+    """Suffix composition: R_i = f_i o f_{i+1} o ... o f_{npad-1}."""
+    s = 1
+    while s < npad:
+        ash = jnp.concatenate([a[s:], jnp.ones_like(a[:s])], axis=0)
+        bsh = jnp.concatenate([b[s:], jnp.zeros_like(b[:s])], axis=0)
+        b = a * bsh + b
+        a = a * ash
+        s *= 2
+    return a, b
+
+
+def _sweep_kernel_scan(nlay: int, nseg: int, tile: int,
+                       i1_ref, i2_ref, seg_ref, od_fit_ref, planck_ref,
+                       bgod_ref, emis_ref, surfp_ref, fd_ref, fu_ref):
+    """Scan-form sweep kernel: identical physics to :func:`_sweep_kernel`
+    up to the source terms, then both directional recurrences evaluated as
+    affine-map compositions by doubling (the layer recurrences are affine
+    in the running flux: flux' = trans * flux + src).  The upward sweep is
+    composed as suffix maps of the surface boundary value, so the down->up
+    serialization reduces to one broadcast FMA after both scans."""
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        fd_ref[:, :] = jnp.zeros_like(fd_ref)
+        fu_ref[:, :] = jnp.zeros_like(fu_ref)
+
+    base = t * tile
+    seg = seg_ref[0, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 1)
+    part = (seg[:, None] == col).astype(od_fit_ref.dtype)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0) + base
+    member = ((idx >= i1_ref[0, :][None, :])
+              & (idx <= i2_ref[0, :][None, :])).astype(od_fit_ref.dtype)
+
+    od_fit = od_fit_ref[:, :]
+    grey = _split_dot(od_fit, part.T)
+    od = bgod_ref[:, :] + grey
+    te = 1.0e-5
+    emissivity = 1.0 - jnp.exp(-LW_DIFFUSIVITY * od)
+    factor = jnp.maximum(
+        1.0 - (1.0 / LW_DIFFUSIVITY) * jnp.maximum(emissivity, te)
+        / jnp.maximum(od, te / LW_DIFFUSIVITY),
+        0.5 * te)
+    trans = 1.0 - emissivity
+    coeff_top = emissivity - factor
+
+    planck = planck_ref[:, :]
+    src_dn = planck[:-1] * coeff_top + planck[1:] * factor
+    src_up = planck[1:] * coeff_top + planck[:-1] * factor
+
+    # Pad the layer axis to a power of two with identity maps (a=1, b=0):
+    # appended AFTER the real layers they change neither the prefix
+    # compositions (first nlay entries) nor the suffix compositions
+    # (identity suffix).
+    npad = 1 << max(nlay - 1, 0).bit_length()
+    pad = npad - nlay
+    idrow_a = jnp.ones((pad, tile), od.dtype)
+    idrow_b = jnp.zeros((pad, tile), od.dtype)
+    a0 = jnp.concatenate([trans, idrow_a], axis=0)
+
+    # Downward: flux_dn[i+1] = P_i(0) = B_dn[i]
+    _, b_dn = _affine_scan_down(a0, jnp.concatenate([src_dn, idrow_b], 0),
+                                npad)
+    dn = jnp.concatenate([jnp.zeros((1, tile), od.dtype), b_dn[:nlay]], 0)
+
+    # Upward: up[lay] = A_up[lay]*boundary + B_up[lay]; up[nlay] = boundary
+    a_up, b_up = _affine_scan_up(a0, jnp.concatenate([src_up, idrow_b], 0),
+                                 npad)
+    emis = emis_ref[0, :]
+    boundary = surfp_ref[0, :] * emis + (1.0 - emis) * dn[nlay]
+    up = jnp.concatenate(
+        [a_up[:nlay] * boundary[None, :] + b_up[:nlay],
+         boundary[None, :]], axis=0)
+
+    both = _split_dot(jnp.concatenate([dn, up], axis=0), member)
+    fd_ref[:, :] += both[: nlay + 1]
+    fu_ref[:, :] += both[nlay + 1:]
+
+
 def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
                               surf_emissivity, surf_planck, i1, i2,
-                              interpret=False):
+                              interpret=False, form=None):
+    """Per-interval broadband LW fluxes, fused Pallas kernel (see
+    :func:`_rt_lw_bb_intervals_pallas`).  ``form`` (default: module FORM)
+    is resolved HERE, outside the jit, so the module default is not baked
+    into a ``form=None`` cache entry at first trace."""
+    return _rt_lw_bb_intervals_pallas(
+        planck_hl, bg_od, od_fit, seg_of_wav, surf_emissivity, surf_planck,
+        i1, i2, interpret=interpret, form=FORM if form is None else form)
+
+
+# Keep a handle for cache clearing in tuning scripts
+rt_lw_bb_intervals_pallas._clear_cache = (
+    lambda: _rt_lw_bb_intervals_pallas._clear_cache())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "form"))
+def _rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
+                               surf_emissivity, surf_planck, i1, i2,
+                               interpret=False, form="scan"):
     """Per-interval broadband LW fluxes, fused Pallas kernel.
 
     Args:
@@ -192,7 +320,10 @@ def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
     grid = (ntile,)
-    kernel = functools.partial(_sweep_kernel, nlay, nseg, tile)
+    if form is None:
+        form = FORM
+    kernel_fn = _sweep_kernel_scan if form == "scan" else _sweep_kernel
+    kernel = functools.partial(kernel_fn, nlay, nseg, tile)
     out_shape = [jax.ShapeDtypeStruct((nlev1, nseg), dtype),
                  jax.ShapeDtypeStruct((nlev1, nseg), dtype)]
     whole = lambda i: (0, 0)

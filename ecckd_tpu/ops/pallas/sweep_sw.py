@@ -20,11 +20,32 @@ from ...constants import SW_DIFFUSE_SECANT
 # doubles the reduction matmul's K while staying well inside VMEM.
 TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 2048))
 
+# Recurrence form (see sweep_lw.FORM): both SW sweeps are pure
+# transmittance products, so the "scan" form needs only multiplicative
+# prefix/suffix doubling — log2(nlay) shifted muls over the whole
+# (nlay, tile) block instead of nlay serial steps.
+FORM = _os.environ.get("ECCKD_SWEEP_FORM", "scan")
+
 from .sweep_lw import _split_dot  # two-pass bf16 split dot (0/1 operand)
 
 
+def _prod_scan(a, npad, reverse=False):
+    """Cumulative product along axis 0 by doubling: inclusive prefix
+    products (or suffix products with ``reverse=True``) of an (npad, tile)
+    block padded with ones rows."""
+    s = 1
+    while s < npad:
+        if reverse:
+            ash = jnp.concatenate([a[s:], jnp.ones_like(a[:s])], axis=0)
+        else:
+            ash = jnp.concatenate([jnp.ones_like(a[:s]), a[:-s]], axis=0)
+        a = a * ash
+        s *= 2
+    return a
+
+
 def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
-                  albedo: float, with_up: bool,
+                  albedo: float, with_up: bool, form: str,
                   i1_ref, i2_ref, seg_ref, od_fit_ref, ssi_ref,
                   bgod_ref, fd_ref, fu_ref):
     from jax.experimental import pallas as pl
@@ -56,6 +77,29 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
     trans_dn = jnp.exp(minus_sec * od)
     flux = cos_sza * ssi_ref[0, :]
 
+    if form == "scan":
+        npad = 1 << max(nlay - 1, 0).bit_length()
+        ones_pad = jnp.ones((npad - nlay, tile), od.dtype)
+        # dn[lev] = flux0 * prod_{k < lev} trans_dn[k]: prefix product
+        pdn = _prod_scan(jnp.concatenate([trans_dn, ones_pad], 0), npad)
+        dn = jnp.concatenate([flux[None, :], flux[None, :] * pdn[:nlay]],
+                             axis=0)
+        if with_up:
+            trans_up = jnp.exp(-SW_DIFFUSE_SECANT * od)
+            # up[lay] = albedo*dn_surf * prod_{k >= lay} trans_up[k]:
+            # suffix product, scaled by the surface boundary
+            pup = _prod_scan(jnp.concatenate([trans_up, ones_pad], 0),
+                             npad, reverse=True)
+            boundary = albedo * dn[nlay]
+            up = jnp.concatenate(
+                [boundary[None, :] * pup[:nlay], boundary[None, :]], axis=0)
+            both = _split_dot(jnp.concatenate([dn, up], axis=0), member)
+            fd_ref[:, :] += both[: nlay + 1]
+            fu_ref[:, :] += both[nlay + 1:]
+        else:
+            fd_ref[:, :] += _split_dot(dn, member)
+        return
+
     if with_up:
         # Both sweeps are pure transmittance products; running the upward
         # product from 1 (scaled afterwards by the surface boundary
@@ -85,12 +129,30 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
         fd_ref[:, :] += _split_dot(jnp.stack(dn_rows), member)
 
 
-@functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
-                                             "with_upwelling", "interpret"))
 def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
                               cos_sza: float, albedo: float,
                               with_upwelling: bool = True,
-                              interpret: bool = False):
+                              interpret: bool = False, form=None):
+    """Per-interval broadband SW fluxes (see the jitted impl below).
+    ``form`` (default: module FORM) is resolved HERE, outside the jit, so
+    the module default is not baked into a ``form=None`` cache entry."""
+    return _rt_sw_bb_intervals_pallas(
+        ssi, bg_od, od_fit, seg_of_wav, i1, i2, cos_sza=cos_sza,
+        albedo=albedo, with_upwelling=with_upwelling, interpret=interpret,
+        form=FORM if form is None else form)
+
+
+rt_sw_bb_intervals_pallas._clear_cache = (
+    lambda: _rt_sw_bb_intervals_pallas._clear_cache())
+
+
+@functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
+                                             "with_upwelling", "interpret",
+                                             "form"))
+def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
+                               cos_sza: float, albedo: float,
+                               with_upwelling: bool = True,
+                               interpret: bool = False, form="scan"):
     """Per-interval broadband SW fluxes, fused Pallas kernel.
 
     Args: ssi: (nwav,); bg_od: (nlay, nwav); od_fit: (nlay, nseg);
@@ -115,9 +177,11 @@ def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
         bg_od = jnp.pad(bg_od, ((0, 0), (0, pad)))
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
+    if form is None:
+        form = FORM
     kernel = functools.partial(_sweep_kernel, nlay, nseg, tile,
                                float(cos_sza), float(albedo),
-                               bool(with_upwelling))
+                               bool(with_upwelling), str(form))
     whole = lambda i: (0, 0)
     fd, fu = pl.pallas_call(
         kernel,

@@ -11,10 +11,19 @@ number of intervals, fully parallel, no scatters.
 
 from __future__ import annotations
 
+import functools
+import os as _os
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# Wavenumber tile for the fused Pallas interval-sum kernel (see
+# ops/pallas/sweep_lw.TILE for the VMEM/latency trade-off; the reduction
+# here is matmul-dominated, where 2048 measured best on a v5e chip:
+# 3.09 ms vs 6.45 ms for the XLA form at nwav=2^20, ~100 rows, nseg=64 —
+# scripts/tune_sweep.py).
+PALLAS_TILE = int(_os.environ.get("ECCKD_ISUM_TILE", 2048))
 
 
 def _member_dot(v, member):
@@ -38,8 +47,108 @@ def _member_dot(v, member):
                       preferred_element_type=v.dtype)
 
 
+def _isum_pallas_kernel(group_meta, nseg, tile, i1_ref, i2_ref, *refs):
+    """Fused interval sums, one Pallas pass: per tile, rebuild every
+    part's operand rows (elementwise products, (1, tile) rows broadcast),
+    stack them, and reduce against ONE membership matmul on the MXU."""
+    from jax.experimental import pallas as pl
+    from .pallas.sweep_lw import _split_dot
+
+    in_refs, out_ref = refs[:-1], refs[-1]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (tile, nseg), 0)
+           + t * tile)
+    member = ((idx >= i1_ref[0, :][None, :])
+              & (idx <= i2_ref[0, :][None, :])).astype(out_ref.dtype)
+
+    blocks = []
+    k = 0
+    for n_arrays, rows in group_meta:
+        prod = None
+        for _ in range(n_arrays):
+            blk = in_refs[k][:, :]
+            k += 1
+            prod = blk if prod is None else prod * blk
+        if prod.shape[0] != rows:   # all-(1, tile) product group
+            prod = jnp.broadcast_to(prod, (rows, tile))
+        blocks.append(prod)
+    stacked = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+        else blocks[0]
+    out_ref[:, :] += _split_dot(stacked, member)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_meta", "dtype", "tile",
+                                    "interpret"))
+def _interval_sum_fused_pallas(group_meta, arrays, i1, i2, dtype, tile,
+                               interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = arrays[0].shape[-1]
+    nseg = i1.shape[0]
+    ntile = -(-n // tile)
+    pad = ntile * tile - n
+    flat = []
+    specs = []
+    for a in arrays:
+        a = a.astype(dtype)
+        if pad:
+            # Zero padding: padded indices exceed every i2, so membership
+            # excludes them regardless of operand values.
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        flat.append(a)
+        specs.append(pl.BlockSpec((a.shape[0], tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+    total_rows = sum(rows for _, rows in group_meta)
+    whole = lambda i: (0, 0)
+    kernel = functools.partial(_isum_pallas_kernel, group_meta, nseg, tile)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntile,),
+        in_specs=[pl.BlockSpec((1, nseg), whole, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nseg), whole,
+                               memory_space=pltpu.VMEM)] + specs,
+        out_specs=pl.BlockSpec((total_rows, nseg), whole,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total_rows, nseg), dtype),
+        interpret=interpret,
+    )(jnp.asarray(i1, jnp.int32)[None, :],
+      jnp.asarray(i2, jnp.int32)[None, :], *flat)
+
+
+def _pallas_groups(parts, n):
+    """(group_meta, flat_arrays) when every part is a ``part_of`` product
+    of bound arrays over the full reduced axis; None otherwise (custom
+    callables fall back to the XLA path)."""
+    meta = []
+    flat = []
+    for p in parts:
+        arrs = getattr(p, "arrays", None)
+        if arrs is None:
+            return None
+        group = []
+        for a in arrs:
+            a = jnp.asarray(a)
+            if a.ndim == 1:
+                a = a[None, :]
+            if a.ndim != 2 or a.shape[-1] != n:
+                return None
+            group.append(a)
+        rows = max(a.shape[0] for a in group)
+        meta.append((len(group), rows))
+        flat.extend(group)
+    return tuple(meta), tuple(flat)
+
+
 def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
-                       dtype=None, tile: int = 8192):
+                       dtype=None, tile: int = 8192,
+                       use_pallas=None, pallas_interpret: bool = False):
     """Stacked interval sums with per-tile operand construction.
 
     Each element of ``parts`` is a callable ``part(start, size) ->
@@ -75,6 +184,21 @@ def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
     if dtype is None:
         dtype = jax.eval_shape(lambda: block(0, min(tile, n))).dtype
 
+    # Fused Pallas fast path (TPU f32): every part that is a plain
+    # ``part_of`` product can be rebuilt per tile inside ONE kernel whose
+    # inputs are read exactly once — ~2x the XLA form, which pays an HBM
+    # round trip per fori_loop carry (measured scripts/tune_sweep.py).
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32)
+    if use_pallas:
+        grouped = _pallas_groups(parts, n)
+        if grouped is not None:
+            meta, flat = grouped
+            return _interval_sum_fused_pallas(
+                meta, flat, i1, i2, dtype, PALLAS_TILE,
+                bool(pallas_interpret))
+
     def reduce_tile(start, size):
         idx = (jax.lax.broadcasted_iota(jnp.int32, (size, nseg), 0)
                + start)
@@ -109,6 +233,9 @@ def part_of(*arrays):
                 sl = sl[None, :]
             out = sl if out is None else out * sl
         return out
+    # Operands exposed for the fused Pallas fast path (which rebuilds the
+    # product per tile inside the kernel instead of calling ``part``).
+    part.arrays = arrays
     return part
 
 

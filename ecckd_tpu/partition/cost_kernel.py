@@ -112,7 +112,9 @@ class CandidateCostLw:
         sums = interval_sum_fused(
             parts + [part_of(hr), part_of(flux_dn_surf),
                      part_of(flux_up_toa)],
-            metric.shape[-1], i1, i2, dtype=metric.dtype)
+            metric.shape[-1], i1, i2, dtype=metric.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
         od_fit = finish(sums[:rows], i1, i2)
         hr_true = sums[rows:rows + nlay]
         fd_surf_true = sums[rows + nlay]
@@ -229,7 +231,9 @@ class CandidateCostSw:
                          ex["flux_up_toa_low"])
                 + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
                            ex["flux_up_toa_high"]),
-                nwav, i1, i2, dtype=metric.dtype)
+                nwav, i1, i2, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret)
             lo, hi = sums[:nlay + 2], sums[nlay + 2:]
             cf_low = self._cost_with(
                 arrs, od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
@@ -242,7 +246,9 @@ class CandidateCostSw:
                                            metric)
         sums = interval_sum_fused(
             parts + truth_of(hr, flux_dn_surf, flux_up_toa),
-            nwav, i1, i2, dtype=metric.dtype)
+            nwav, i1, i2, dtype=metric.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
         od_fit = finish(sums[:rows], i1, i2)
         return self._cost_with(arrs, od_fit, seg_of_wav, i1, i2,
                                sums[rows:rows + nlay], sums[rows + nlay],

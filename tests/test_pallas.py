@@ -21,20 +21,22 @@ class TestPallasSweepLw:
         seg = np.repeat(np.arange(nseg, dtype=np.int32), np.diff(edges))
         return planck, bg_od, od_fit, emis, surfp, i1, i2, seg
 
-    def test_matches_xla(self):
+    @pytest.mark.parametrize("form", ["scan", "unroll"])
+    def test_matches_xla(self, form):
         planck, bg_od, od_fit, emis, surfp, i1, i2, seg = self._inputs()
         grey = od_fit[:, seg]
         fd_ref, fu_ref = rt_lw_bb_intervals(planck, bg_od, grey, emis,
                                             surfp, i1, i2)
         fd, fu = rt_lw_bb_intervals_pallas(planck, bg_od, od_fit, seg,
                                            emis, surfp, i1, i2,
-                                           interpret=True)
+                                           interpret=True, form=form)
         np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_ref),
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
                                    rtol=2e-5)
 
-    def test_non_tile_aligned(self):
+    @pytest.mark.parametrize("form", ["scan", "unroll"])
+    def test_non_tile_aligned(self, form):
         # nwav not a multiple of the tile: padding must not contribute
         planck, bg_od, od_fit, emis, surfp, i1, i2, seg = self._inputs(
             nwav=1333, nseg=3, seed=4)
@@ -43,13 +45,14 @@ class TestPallasSweepLw:
                                             surfp, i1, i2)
         fd, fu = rt_lw_bb_intervals_pallas(planck, bg_od, od_fit, seg,
                                            emis, surfp, i1, i2,
-                                           interpret=True)
+                                           interpret=True, form=form)
         np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_ref),
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
                                    rtol=2e-5)
 
-    def test_overlapping_boundary_index(self):
+    @pytest.mark.parametrize("form", ["scan", "unroll"])
+    def test_overlapping_boundary_index(self, form):
         # Shared boundary index belongs to both intervals (ceil/floor map)
         planck, bg_od, od_fit, emis, surfp, i1, i2, seg = self._inputs(
             nwav=2048, nseg=4, seed=7)
@@ -60,7 +63,7 @@ class TestPallasSweepLw:
                                             surfp, i1, i2)
         fd, fu = rt_lw_bb_intervals_pallas(planck, bg_od, od_fit, seg,
                                            emis, surfp, i1, i2,
-                                           interpret=True)
+                                           interpret=True, form=form)
         np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_ref),
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
@@ -79,7 +82,8 @@ class TestPallasSweepSw:
         seg = np.repeat(np.arange(nseg, dtype=np.int32), np.diff(edges))
         return ssi, bg_od, od_fit, i1, i2, seg
 
-    def test_matches_xla_with_up(self):
+    @pytest.mark.parametrize("form", ["scan", "unroll"])
+    def test_matches_xla_with_up(self, form):
         from ecckd_tpu.ops.rt_sw import rt_sw_bb_intervals
         from ecckd_tpu.ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
         ssi, bg_od, od_fit, i1, i2, seg = self._inputs()
@@ -89,13 +93,14 @@ class TestPallasSweepSw:
         fd, fu = rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg, i1, i2,
                                            cos_sza=0.5, albedo=0.15,
                                            with_upwelling=True,
-                                           interpret=True)
+                                           interpret=True, form=form)
         np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_ref),
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
                                    rtol=2e-5)
 
-    def test_matches_xla_direct_only(self):
+    @pytest.mark.parametrize("form", ["scan", "unroll"])
+    def test_matches_xla_direct_only(self, form):
         from ecckd_tpu.ops.rt_sw import rt_sw_bb_intervals
         from ecckd_tpu.ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
         ssi, bg_od, od_fit, i1, i2, seg = self._inputs(seed=9, nwav=1024)
@@ -105,7 +110,70 @@ class TestPallasSweepSw:
         fd, fu = rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg, i1, i2,
                                            cos_sza=0.5, albedo=0.0,
                                            with_upwelling=False,
-                                           interpret=True)
+                                           interpret=True, form=form)
         np.testing.assert_allclose(np.asarray(fd), np.asarray(fd_ref),
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(fu), 0.0)
+
+
+class TestPallasIntervalSumFused:
+    """Fused Pallas interval sums vs the XLA form (interpret mode)."""
+
+    def _inputs(self, nlay=9, nwav=5000, nseg=6, seed=3):
+        rng = np.random.default_rng(seed)
+        a2 = rng.normal(1.0, 0.3, (nlay, nwav)).astype(np.float32)
+        b2 = np.abs(rng.normal(2.0, 0.5, (nlay, nwav))).astype(np.float32)
+        v1 = rng.normal(0.0, 1.0, nwav).astype(np.float32)
+        edges = np.linspace(0, nwav, nseg + 1).astype(np.int32)
+        i1, i2 = edges[:-1], edges[1:] - 1
+        return a2, b2, v1, i1, i2
+
+    def test_matches_xla(self):
+        from ecckd_tpu.ops.segments import interval_sum_fused, part_of
+        a2, b2, v1, i1, i2 = self._inputs()
+        parts = [part_of(a2, b2), part_of(b2), part_of(v1),
+                 part_of(v1, a2)]
+        ref = interval_sum_fused(parts, a2.shape[-1], i1, i2,
+                                 dtype=a2.dtype, use_pallas=False)
+        got = interval_sum_fused(parts, a2.shape[-1], i1, i2,
+                                 dtype=a2.dtype, use_pallas=True,
+                                 pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=1e-4)
+
+    def test_non_tile_aligned_overlapping(self):
+        # nwav not a tile multiple; intervals overlap at shared indices
+        from ecckd_tpu.ops.segments import interval_sum_fused, part_of
+        a2, b2, v1, _, _ = self._inputs(nwav=3333, seed=8)
+        i1 = np.array([0, 1000, 1000, 2500], np.int32)
+        i2 = np.array([1000, 2500, 3332, 3332], np.int32)
+        parts = [part_of(a2), part_of(v1, b2)]
+        ref = interval_sum_fused(parts, a2.shape[-1], i1, i2,
+                                 dtype=a2.dtype, use_pallas=False)
+        got = interval_sum_fused(parts, a2.shape[-1], i1, i2,
+                                 dtype=a2.dtype, use_pallas=True,
+                                 pallas_interpret=True)
+        # bf16-split truncation (~2^-17/term) accumulates over the
+        # interval; tolerance is relative to the summand scale, not the
+        # (possibly cancelled) sums
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=5e-3)
+
+    def test_custom_part_falls_back(self):
+        # A part without bound arrays (custom callable) must fall back to
+        # the XLA path even when use_pallas is requested.
+        import jax
+        from ecckd_tpu.ops.segments import interval_sum_fused, part_of
+        a2, _, _, i1, i2 = self._inputs(nwav=2000, seed=5)
+
+        def custom(start, size):
+            sl = jax.lax.dynamic_slice_in_dim(a2, start, size, axis=1)
+            return np.float32(2.0) * sl
+
+        ref = interval_sum_fused([part_of(a2), custom], a2.shape[-1],
+                                 i1, i2, dtype=a2.dtype, use_pallas=False)
+        got = interval_sum_fused([part_of(a2), custom], a2.shape[-1],
+                                 i1, i2, dtype=a2.dtype, use_pallas=True,
+                                 pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6)
