@@ -79,10 +79,11 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
     data = build_inputs(NLAY, nwav, NSEG, dtype)
     with jax.default_device(device):
         if use_pallas is None:
-            # The fused Pallas sweep kernel measures 3.7e9 bins*layers/s vs
-            # 1.1e9 for the XLA path (chained single-dispatch timing, one
-            # v5e chip, f32, NWAV=2^20); its TPU compile is slow (~10 min)
-            # but persistently cached via JAX_COMPILATION_CACHE_DIR.
+            # The fused Pallas path (doubling-scan sweep + one-pass interval
+            # sums) measures 6.7e9 bins*layers/s vs 1.1e9 for the XLA path
+            # (chained single-dispatch timing, one v5e chip, f32,
+            # NWAV=2^20); its TPU compile is slow (~10-30 min) and the
+            # relay does not honor the persistent compilation cache.
             # Opt out with BENCH_KERNEL=xla.
             use_pallas = (device.platform == "tpu"
                           and os.environ.get("BENCH_KERNEL", "pallas")
