@@ -189,8 +189,12 @@ def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
     # inputs are read exactly once — ~2x the XLA form, which pays an HBM
     # round trip per fori_loop carry (measured scripts/tune_sweep.py).
     if use_pallas is None:
+        # Auto-enable only for genuinely spectral-scale reductions: every
+        # distinct shape costs a fresh Pallas compile (minutes through the
+        # TPU relay, which does not honor the persistent cache), which
+        # only pays for itself when the per-call work is large.
         use_pallas = (jax.default_backend() == "tpu"
-                      and dtype == jnp.float32)
+                      and dtype == jnp.float32 and n >= (1 << 16))
     if use_pallas:
         grouped = _pallas_groups(parts, n)
         if grouped is not None:
