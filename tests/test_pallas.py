@@ -177,3 +177,51 @@ class TestPallasIntervalSumFused:
                                  pallas_interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6)
+
+
+class TestScanFormProductionShape:
+    """Scan-form padding path at the production layer count: nlay=50 pads
+    to npad=64 identity maps (the shapes every TPU measurement uses;
+    smaller tests above exercise npad=16)."""
+
+    def test_lw_scan_nlay50(self):
+        rng = np.random.default_rng(11)
+        nlay, nwav, nseg = 50, 3000, 4
+        planck = np.abs(rng.normal(5, 1, (nlay + 1, nwav))).astype(np.float32)
+        bg = rng.gamma(0.5, 0.3, (nlay, nwav)).astype(np.float32)
+        od_fit = rng.gamma(0.5, 0.3, (nlay, nseg)).astype(np.float32)
+        emis = rng.uniform(0.9, 1.0, nwav).astype(np.float32)
+        surfp = np.abs(rng.normal(8, 1, nwav)).astype(np.float32)
+        edges = np.linspace(0, nwav, nseg + 1).astype(np.int32)
+        i1, i2 = edges[:-1], edges[1:] - 1
+        seg = np.repeat(np.arange(nseg, dtype=np.int32), np.diff(edges))
+        fd_s, fu_s = rt_lw_bb_intervals_pallas(
+            planck, bg, od_fit, seg, emis, surfp, i1, i2,
+            interpret=True, form="scan")
+        fd_u, fu_u = rt_lw_bb_intervals_pallas(
+            planck, bg, od_fit, seg, emis, surfp, i1, i2,
+            interpret=True, form="unroll")
+        np.testing.assert_allclose(np.asarray(fd_s), np.asarray(fd_u),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(fu_s), np.asarray(fu_u),
+                                   rtol=3e-5)
+
+    def test_sw_scan_nlay50(self):
+        from ecckd_tpu.ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
+        rng = np.random.default_rng(12)
+        nlay, nwav, nseg = 50, 2600, 3
+        ssi = np.abs(rng.normal(2, 0.5, nwav)).astype(np.float32)
+        bg = rng.gamma(0.4, 0.2, (nlay, nwav)).astype(np.float32)
+        od_fit = rng.gamma(0.4, 0.2, (nlay, nseg)).astype(np.float32)
+        edges = np.linspace(0, nwav, nseg + 1).astype(np.int32)
+        i1, i2 = edges[:-1], edges[1:] - 1
+        seg = np.repeat(np.arange(nseg, dtype=np.int32), np.diff(edges))
+        out_s = rt_sw_bb_intervals_pallas(ssi, bg, od_fit, seg, i1, i2,
+                                          cos_sza=0.5, albedo=0.2,
+                                          interpret=True, form="scan")
+        out_u = rt_sw_bb_intervals_pallas(ssi, bg, od_fit, seg, i1, i2,
+                                          cos_sza=0.5, albedo=0.2,
+                                          interpret=True, form="unroll")
+        for a, b in zip(out_s, out_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5)
