@@ -197,19 +197,17 @@ def _log_fit_parts(metric, w_num, w_den):
     return [log_part], 3 * nlay, finish
 
 
-def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
-    """Total-transmission fit (ref find_g_points.cpp:173-204).
+def total_trans_fit_parts(ssi, bg_od, od):
+    """Decomposed total-transmission fit: ``(parts, rows, finish)``.
 
-    The per-layer fitted od is derived from broadband direct-flux ratios at
-    secant 2 with/without the target gas; falls back to the linear SSI
-    average for the entire profile if the broadband flux underflows to zero
-    at any layer (replicating the reference's whole-vector overwrite).
-
-    Returns (nlay, nseg).
-    """
+    Like :func:`fit_parts_sw` but for the total-transmission method
+    (ref find_g_points.cpp:173-204): the interval reductions (per-level
+    broadband direct fluxes with/without the target gas, plus the linear
+    fallback numerator) are exposed as fused-reduction parts so callers can
+    shard/psum them; ``finish(sums, i1, i2)`` derives the fitted od from
+    the (globally reduced) sums."""
     sec = 2.0
     nlay = od.shape[0]
-    n = od.shape[-1]
     ssi = jnp.asarray(ssi)
 
     def levels_part(start, size):
@@ -224,23 +222,39 @@ def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
         flux = ssi_t * jnp.exp(-sec * jnp.cumsum(bg_t + od_t, axis=0))
         return jnp.concatenate([ssi_t, bg_flux, flux], axis=0)
 
-    sums = interval_sum_fused([levels_part, part_of(od, ssi)], n, i1, i2,
-                              dtype=od.dtype)
-    top = sums[0]
-    bb_bg = sums[1:nlay + 1]
-    bb = sums[nlay + 1:2 * nlay + 1]
-    bb_bg_above = jnp.concatenate([top[None], bb_bg[:-1]], axis=0)
-    bb_above = jnp.concatenate([top[None], bb[:-1]], axis=0)
+    def finish(sums, i1, i2):
+        top = sums[0]
+        bb_bg = sums[1:nlay + 1]
+        bb = sums[nlay + 1:2 * nlay + 1]
+        bb_bg_above = jnp.concatenate([top[None], bb_bg[:-1]], axis=0)
+        bb_above = jnp.concatenate([top[None], bb[:-1]], axis=0)
 
-    ok = (bb_bg > 0.0) & (bb > 0.0)
-    safe_bg = jnp.where(ok, bb_bg, 1.0)
-    safe = jnp.where(ok, bb, 1.0)
-    bg_fit = -0.5 * jnp.log(safe_bg / jnp.maximum(bb_bg_above, 1e-300))
-    fit = -0.5 * jnp.log(safe / jnp.maximum(bb_above, 1e-300)) - bg_fit
+        ok = (bb_bg > 0.0) & (bb > 0.0)
+        safe_bg = jnp.where(ok, bb_bg, 1.0)
+        safe = jnp.where(ok, bb, 1.0)
+        bg_fit = -0.5 * jnp.log(safe_bg / jnp.maximum(bb_bg_above, 1e-300))
+        fit = -0.5 * jnp.log(safe / jnp.maximum(bb_above, 1e-300)) - bg_fit
 
-    linear = sums[2 * nlay + 1:] / top
-    any_bad = jnp.any(~ok, axis=0)          # (nseg,)
-    return jnp.where(any_bad[None, :], linear, fit)
+        linear = sums[2 * nlay + 1:] / top
+        any_bad = jnp.any(~ok, axis=0)          # (nseg,)
+        return jnp.where(any_bad[None, :], linear, fit)
+
+    return [levels_part, part_of(od, ssi)], 3 * nlay + 1, finish
+
+
+def fit_optical_depth_sw_total_trans(ssi, bg_od, od, i1, i2):
+    """Total-transmission fit (ref find_g_points.cpp:173-204).
+
+    The per-layer fitted od is derived from broadband direct-flux ratios at
+    secant 2 with/without the target gas; falls back to the linear SSI
+    average for the entire profile if the broadband flux underflows to zero
+    at any layer (replicating the reference's whole-vector overwrite).
+
+    Returns (nlay, nseg).
+    """
+    parts, rows, finish = total_trans_fit_parts(ssi, bg_od, od)
+    sums = interval_sum_fused(parts, od.shape[-1], i1, i2, dtype=od.dtype)
+    return finish(sums, i1, i2)
 
 
 # ---------------------------------------------------------------------------

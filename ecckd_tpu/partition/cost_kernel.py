@@ -10,6 +10,16 @@ per-candidate broadband fluxes (see ops.rt_lw.rt_lw_bb_intervals).
 
 This replaces OpenMP parallelism P1 (equipartition.h:100-104) with data
 parallelism over the wavenumber axis, the framework's scaling dimension.
+
+Multi-chip: pass ``mesh`` (a jax.sharding.Mesh with a named spectral axis)
+to shard the band's wavenumber axis over the mesh.  Per-wavenumber
+recurrences are independent, so every shard runs the fused sweep and
+interval reductions on its local slice with rank-shifted interval bounds,
+and only the tiny (rows, nseg) interval sums and (nlev+1, nseg) flux
+partials cross ICI via ``psum`` — two allreduces per sweep, O(nlay * nseg)
+bytes each.  The fit ``finish`` and the scalar cost run replicated on the
+psum'd results.  This is the multi-chip form of the reference's hottest
+loop (find_g_points.cpp:291-330), which OpenMP limits to one node.
 """
 
 from __future__ import annotations
@@ -22,13 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import HR_WEIGHT
-from ..ops.average import (fit_parts_lw, fit_parts_sw,
-                           fit_optical_depth_sw_total_trans)
+from ..ops.average import (fit_parts_lw, fit_parts_sw, total_trans_fit_parts)
 from ..ops.heating_rate import heating_rate
 from ..ops.rt_lw import rt_lw_bb_intervals
 from ..ops.rt_sw import rt_sw_bb_intervals
 from ..ops.segments import interval_sum_fused, part_of
 from .equipartition import Equipartition
+
+
+def _shard_map():
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
 
 
 def _pad_to_bucket(n: int) -> int:
@@ -37,6 +54,33 @@ def _pad_to_bucket(n: int) -> int:
     if n <= 1:
         return 1
     return 1 << (n - 1).bit_length()
+
+
+def _pad_wav(a, pad: int):
+    """Zero-pad the trailing (wavenumber) axis by ``pad`` entries.
+
+    Padded ranks sit ABOVE every interval's global i2 (intervals live in
+    [0, npoints)), so membership excludes them from every reduction; the
+    flux recurrences on zero operands also produce exactly zero rows, so
+    tile-level padding inside the kernels is harmless too.
+    """
+    if pad == 0:
+        return jnp.asarray(a)
+    a = jnp.asarray(a)
+    width = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return jnp.pad(a, width)
+
+
+def _local_bounds(i1, i2, axis, nloc):
+    """Shift global inclusive rank bounds into a shard's local index space.
+
+    Membership tests ``i1 <= idx <= i2`` need no clipping: intervals
+    entirely outside the shard produce empty membership (and hence exact
+    zero partial sums), intervals extending past either edge are clipped
+    by the comparison itself.
+    """
+    offset = jax.lax.axis_index(axis).astype(i1.dtype) * nloc
+    return i1 - offset, i2 - offset
 
 
 def _candidate_cost_from_fluxes(pressure_hl, layer_weight, flux_weight,
@@ -58,11 +102,78 @@ def _candidate_cost_from_fluxes(pressure_hl, layer_weight, flux_weight,
         + flux_weight * (dn_err * dn_err + up_err * up_err))
 
 
-class CandidateCostLw:
+class _CandidateCostBase:
+    """Shared jit/shard_map dispatch for the candidate-cost kernels."""
+
+    mesh = None
+    mesh_axis = "spectral"
+    _wav_pad = 0
+
+    def _setup_mesh(self, mesh, mesh_axis: str, nwav: int) -> int:
+        """Record the mesh and return the padded wavenumber count."""
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._wav_pad = 0
+        if mesh is None:
+            return nwav
+        nshard = mesh.shape[mesh_axis]
+        self._wav_pad = (-nwav) % nshard
+        return nwav + self._wav_pad
+
+    def _shard_arrays(self):
+        """Commit the bound arrays to their mesh shardings (one transfer at
+        construction instead of one per sweep)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        specs = self._array_specs(P, self.mesh_axis)
+        put = lambda a, s: (a if a is None or np.isscalar(a)
+                            else jax.device_put(a, NamedSharding(self.mesh,
+                                                                 s)))
+        return jax.tree.map(put, self._arrays(), specs,
+                            is_leaf=lambda x: x is None)
+
+    def _make_jitted(self):
+        if self.mesh is None:
+            return jax.jit(self._kernel)
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh_axis
+        body = functools.partial(self._kernel, axis=axis)
+        kwargs = dict(mesh=self.mesh,
+                      in_specs=(self._array_specs(P, axis), P(), P(),
+                                P(axis)),
+                      out_specs=P())
+        if self.use_pallas:
+            # pallas_call inside shard_map cannot express per-output
+            # varying-axis metadata for every interpreter path (literals
+            # are not auto-pvaried), so drop the replication checker; the
+            # XLA path keeps it as a sharding-correctness guard.
+            kwargs["check_vma"] = False
+        sm = _shard_map()(body, **kwargs)
+        return jax.jit(sm)
+
+    def costs(self, i1: np.ndarray, i2: np.ndarray,
+              seg_of_wav: np.ndarray) -> np.ndarray:
+        n = len(i1)
+        nb = _pad_to_bucket(n)
+        if nb not in self._jitted:
+            self._jitted[nb] = self._make_jitted()
+        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
+        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
+        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
+        if self._wav_pad:
+            # Padded ranks carry interval 0's fit; membership excludes them
+            # from every interval sum (global index >= npoints > all i2).
+            seg = np.concatenate([seg, np.zeros(self._wav_pad, np.int32)])
+        out = self._jitted[nb](self._bound_arrays, jnp.asarray(i1p),
+                               jnp.asarray(i2p), jnp.asarray(seg))
+        return np.asarray(out)[:n].astype(np.float64)
+
+
+class CandidateCostLw(_CandidateCostBase):
     """LW candidate cost over a band of rank-ordered wavenumbers.
 
-    Arrays are bound once (device-resident); :meth:`costs` evaluates a batch
-    of intervals.  Mirrors CkdEquipartition::init_lw
+    Arrays are bound once (device-resident; mesh-sharded over the
+    wavenumber axis when ``mesh`` is given); :meth:`costs` evaluates a
+    batch of intervals.  Mirrors CkdEquipartition::init_lw
     (find_g_points.cpp:209-238).
     """
 
@@ -70,7 +181,8 @@ class CandidateCostLw:
                  layer_weight, pressure_hl, surf_emissivity, surf_planck,
                  flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr,
                  use_pallas: Optional[bool] = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 mesh=None, mesh_axis: str = "spectral"):
         import jax
         self.averaging_method = averaging_method
         self.flux_weight = float(flux_weight)
@@ -80,18 +192,22 @@ class CandidateCostLw:
                           and jnp.asarray(metric).dtype == jnp.float32)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
+        self.npoints = int(np.shape(metric)[1])
+        self._setup_mesh(mesh, mesh_axis, self.npoints)
+        pad = self._wav_pad
         self.layer_weight = jnp.asarray(layer_weight)
         self.pressure_hl = jnp.asarray(pressure_hl)
-        self.surf_emissivity = jnp.asarray(surf_emissivity)
-        self.surf_planck = jnp.asarray(surf_planck)
-        self.flux_dn_surf = jnp.asarray(flux_dn_surf)
-        self.flux_up_toa = jnp.asarray(flux_up_toa)
-        self.planck_hl = jnp.asarray(planck_hl)
-        self.bg_od = jnp.asarray(bg_od)
-        self.metric = jnp.asarray(metric)
-        self.hr = jnp.asarray(hr)
-        self.npoints = int(self.metric.shape[1])
+        self.surf_emissivity = _pad_wav(surf_emissivity, pad)
+        self.surf_planck = _pad_wav(surf_planck, pad)
+        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad)
+        self.flux_up_toa = _pad_wav(flux_up_toa, pad)
+        self.planck_hl = _pad_wav(planck_hl, pad)
+        self.bg_od = _pad_wav(bg_od, pad)
+        self.metric = _pad_wav(metric, pad)
+        self.hr = _pad_wav(hr, pad)
         self._jitted: Dict[int, object] = {}
+        self._bound_arrays = (self._shard_arrays() if mesh is not None
+                              else self._arrays())
 
     def _arrays(self):
         """Array operands passed as jit ARGUMENTS (never closures, which XLA
@@ -100,21 +216,34 @@ class CandidateCostLw:
                 self.surf_planck, self.flux_dn_surf, self.flux_up_toa,
                 self.planck_hl, self.bg_od, self.metric, self.hr)
 
-    def _kernel(self, arrays, i1, i2, seg_of_wav):
+    def _array_specs(self, P, axis):
+        return (P(), P(), P(axis), P(axis), P(axis), P(axis),
+                P(None, axis), P(None, axis), P(None, axis), P(None, axis))
+
+    def _kernel(self, arrays, i1, i2, seg_of_wav, axis=None):
         (layer_weight, pressure_hl, surf_emissivity, surf_planck,
          flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = arrays
         # Fit operands and truth reductions share ONE pass over the
         # spectrum: each fused-reduction tile reads its operand block once
         # and reduces everything against the same membership matmul.
         nlay = hr.shape[0]
+        nloc = metric.shape[-1]
+        if axis is None:
+            i1_l, i2_l = i1, i2
+            allred = lambda x: x
+        else:
+            i1_l, i2_l = _local_bounds(i1, i2, axis, nloc)
+            allred = lambda x: jax.lax.psum(x, axis)
         parts, rows, finish = fit_parts_lw(self.averaging_method, planck_hl,
                                            metric)
-        sums = interval_sum_fused(
+        sums = allred(interval_sum_fused(
             parts + [part_of(hr), part_of(flux_dn_surf),
                      part_of(flux_up_toa)],
-            metric.shape[-1], i1, i2, dtype=metric.dtype,
+            nloc, i1_l, i2_l, dtype=metric.dtype,
             use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret))
+        # ``finish`` consumes globally reduced sums with GLOBAL bounds (the
+        # logarithmic method derives interval lengths from i2 - i1 + 1).
         od_fit = finish(sums[:rows], i1, i2)
         hr_true = sums[rows:rows + nlay]
         fd_surf_true = sums[rows + nlay]
@@ -123,30 +252,19 @@ class CandidateCostLw:
             from ..ops.pallas.sweep_lw import rt_lw_bb_intervals_pallas
             flux_dn, flux_up = rt_lw_bb_intervals_pallas(
                 planck_hl, bg_od, od_fit, seg_of_wav, surf_emissivity,
-                surf_planck, i1, i2, interpret=self.pallas_interpret)
+                surf_planck, i1_l, i2_l, interpret=self.pallas_interpret)
         else:
             grey = jnp.take(od_fit, seg_of_wav, axis=1)
             flux_dn, flux_up = rt_lw_bb_intervals(
-                planck_hl, bg_od, grey, surf_emissivity, surf_planck, i1, i2)
+                planck_hl, bg_od, grey, surf_emissivity, surf_planck,
+                i1_l, i2_l)
         return _candidate_cost_from_fluxes(
             pressure_hl, layer_weight, self.flux_weight,
-            flux_dn, flux_up, hr_true, fd_surf_true, fu_toa_true)
-
-    def costs(self, i1: np.ndarray, i2: np.ndarray,
-              seg_of_wav: np.ndarray) -> np.ndarray:
-        n = len(i1)
-        nb = _pad_to_bucket(n)
-        if nb not in self._jitted:
-            self._jitted[nb] = jax.jit(self._kernel)
-        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
-        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
-        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
-        out = self._jitted[nb](self._arrays(), jnp.asarray(i1p),
-                               jnp.asarray(i2p), jnp.asarray(seg))
-        return np.asarray(out)[:n].astype(np.float64)
+            allred(flux_dn), allred(flux_up), hr_true, fd_surf_true,
+            fu_toa_true)
 
 
-class CandidateCostSw:
+class CandidateCostSw(_CandidateCostBase):
     """SW candidate cost (ref CkdEquipartition::init_sw / init_sw_extras,
     find_g_points.cpp:240-296), including the total-transmission method that
     averages the cost of low- and high-scaled optical depths
@@ -157,7 +275,8 @@ class CandidateCostSw:
                  flux_dn_surf, flux_up_toa, bg_od, metric, hr,
                  extras: Optional[dict] = None,
                  use_pallas: Optional[bool] = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 mesh=None, mesh_axis: str = "spectral"):
         import jax
         self.averaging_method = averaging_method
         self.flux_weight = float(flux_weight)
@@ -166,22 +285,26 @@ class CandidateCostSw:
                           and jnp.asarray(metric).dtype == jnp.float32)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
+        self.npoints = int(np.shape(metric)[1])
+        self._setup_mesh(mesh, mesh_axis, self.npoints)
+        pad = self._wav_pad
         self.layer_weight = jnp.asarray(layer_weight)
         self.cos_sza = float(cos_sza)
         self.pressure_hl = jnp.asarray(pressure_hl)
-        self.ssi = jnp.asarray(ssi)
+        self.ssi = _pad_wav(ssi, pad)
         self.surf_albedo = float(surf_albedo)
-        self.flux_dn_surf = jnp.asarray(flux_dn_surf)
-        self.flux_up_toa = jnp.asarray(flux_up_toa)
-        self.bg_od = jnp.asarray(bg_od)
-        self.metric = jnp.asarray(metric)
-        self.hr = jnp.asarray(hr)
-        self.npoints = int(self.metric.shape[1])
+        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad)
+        self.flux_up_toa = _pad_wav(flux_up_toa, pad)
+        self.bg_od = _pad_wav(bg_od, pad)
+        self.metric = _pad_wav(metric, pad)
+        self.hr = _pad_wav(hr, pad)
         self.extras = None
         if extras is not None:
-            self.extras = {k: (jnp.asarray(v) if not np.isscalar(v) else
+            self.extras = {k: (_pad_wav(v, pad) if not np.isscalar(v) else
                                float(v)) for k, v in extras.items()}
         self._jitted: Dict[int, object] = {}
+        self._bound_arrays = (self._shard_arrays() if mesh is not None
+                              else self._arrays())
 
     def _arrays(self):
         """Array operands passed as jit ARGUMENTS, not closures (closures
@@ -190,21 +313,32 @@ class CandidateCostSw:
                 self.flux_dn_surf, self.flux_up_toa, self.bg_od,
                 self.metric, self.hr, self.extras)
 
-    def _cost_with(self, arrs, od_fit, seg_of_wav, i1, i2,
-                   hr_true, fd_surf_true, fu_toa_true):
+    def _array_specs(self, P, axis):
+        ex = None
+        if self.extras is not None:
+            ex = {k: (P() if np.isscalar(v)
+                      else P(axis) if v.ndim == 1 else P(None, axis))
+                  for k, v in self.extras.items()}
+        return (P(), P(), P(axis), P(axis), P(axis),
+                P(None, axis), P(None, axis), P(None, axis), ex)
+
+    def _cost_with(self, arrs, od_fit, seg_of_wav, i1_l, i2_l,
+                   hr_true, fd_surf_true, fu_toa_true, allred):
         (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
         with_up = self.surf_albedo > 0.0
         if self.use_pallas:
             from ..ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
             flux_dn, flux_up = rt_sw_bb_intervals_pallas(
-                ssi, bg_od, od_fit, seg_of_wav, i1, i2,
+                ssi, bg_od, od_fit, seg_of_wav, i1_l, i2_l,
                 cos_sza=self.cos_sza, albedo=self.surf_albedo,
                 with_upwelling=with_up, interpret=self.pallas_interpret)
         else:
             grey = jnp.take(od_fit, seg_of_wav, axis=1)
             flux_dn, flux_up = rt_sw_bb_intervals(
                 self.cos_sza, ssi, bg_od, grey,
-                self.surf_albedo, i1, i2, with_upwelling=with_up)
+                self.surf_albedo, i1_l, i2_l, with_upwelling=with_up)
+        flux_dn = allred(flux_dn)
+        flux_up = allred(flux_up)
         # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
         hr_fit = heating_rate(pressure_hl, flux_dn)
         hr_err = hr_fit - hr_true
@@ -215,57 +349,55 @@ class CandidateCostSw:
             * jnp.sum(layer_weight[:, None] * hr_err * hr_err, axis=0)
             + self.flux_weight * (dn_err * dn_err + up_err * up_err))
 
-    def _kernel(self, arrs, i1, i2, seg_of_wav):
+    def _kernel(self, arrs, i1, i2, seg_of_wav, axis=None):
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
          extras) = arrs
-        nwav = metric.shape[-1]
+        nloc = metric.shape[-1]
         nlay = hr.shape[0]
+        if axis is None:
+            i1_l, i2_l = i1, i2
+            allred = lambda x: x
+        else:
+            i1_l, i2_l = _local_bounds(i1, i2, axis, nloc)
+            allred = lambda x: jax.lax.psum(x, axis)
         truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
         if self.averaging_method == "total-transmission":
             ex = extras
-            od_fit = fit_optical_depth_sw_total_trans(
-                ssi, bg_od, metric, i1, i2)
+            parts_tt, rows_tt, finish_tt = total_trans_fit_parts(
+                ssi, bg_od, metric)
+            sums_tt = allred(interval_sum_fused(
+                parts_tt, nloc, i1_l, i2_l, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret))
+            od_fit = finish_tt(sums_tt, i1, i2)
             # Both scaled costs' truth reductions share one spectral pass
-            sums = interval_sum_fused(
+            sums = allred(interval_sum_fused(
                 truth_of(ex["hr_low"], ex["flux_dn_surf_low"],
                          ex["flux_up_toa_low"])
                 + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
                            ex["flux_up_toa_high"]),
-                nwav, i1, i2, dtype=metric.dtype,
+                nloc, i1_l, i2_l, dtype=metric.dtype,
                 use_pallas=self.use_pallas,
-                pallas_interpret=self.pallas_interpret)
+                pallas_interpret=self.pallas_interpret))
             lo, hi = sums[:nlay + 2], sums[nlay + 2:]
             cf_low = self._cost_with(
-                arrs, od_fit * ex["min_scaling"], seg_of_wav, i1, i2,
-                lo[:nlay], lo[nlay], lo[nlay + 1])
+                arrs, od_fit * ex["min_scaling"], seg_of_wav, i1_l, i2_l,
+                lo[:nlay], lo[nlay], lo[nlay + 1], allred)
             cf_high = self._cost_with(
-                arrs, od_fit * ex["max_scaling"], seg_of_wav, i1, i2,
-                hi[:nlay], hi[nlay], hi[nlay + 1])
+                arrs, od_fit * ex["max_scaling"], seg_of_wav, i1_l, i2_l,
+                hi[:nlay], hi[nlay], hi[nlay + 1], allred)
             return 0.5 * (cf_low + cf_high)
         parts, rows, finish = fit_parts_sw(self.averaging_method, ssi,
                                            metric)
-        sums = interval_sum_fused(
+        sums = allred(interval_sum_fused(
             parts + truth_of(hr, flux_dn_surf, flux_up_toa),
-            nwav, i1, i2, dtype=metric.dtype,
+            nloc, i1_l, i2_l, dtype=metric.dtype,
             use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
+            pallas_interpret=self.pallas_interpret))
         od_fit = finish(sums[:rows], i1, i2)
-        return self._cost_with(arrs, od_fit, seg_of_wav, i1, i2,
+        return self._cost_with(arrs, od_fit, seg_of_wav, i1_l, i2_l,
                                sums[rows:rows + nlay], sums[rows + nlay],
-                               sums[rows + nlay + 1])
-
-    def costs(self, i1: np.ndarray, i2: np.ndarray,
-              seg_of_wav: np.ndarray) -> np.ndarray:
-        n = len(i1)
-        nb = _pad_to_bucket(n)
-        if nb not in self._jitted:
-            self._jitted[nb] = jax.jit(self._kernel)
-        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
-        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
-        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
-        out = self._jitted[nb](self._arrays(), jnp.asarray(i1p),
-                               jnp.asarray(i2p), jnp.asarray(seg))
-        return np.asarray(out)[:n].astype(np.float64)
+                               sums[rows + nlay + 1], allred)
 
 
 class CkdEquipartition(Equipartition):

@@ -93,6 +93,15 @@ class Equipartition:
     def set_verbose(self, v): self.verbose = int(v)
     def set_minimize_frac_range(self, m): self.minimize_frac_range = m
 
+    def invalidate(self):
+        """Mark any cached per-interval errors stale, forcing the next
+        partition call to recompute them.  Callers that overwrite the
+        bounds/error arrays from outside (e.g. find_g_points' sqrt-spaced
+        re-initialization when min/max g-point limits kick in,
+        find_g_points.cpp:1221-1248) must call this before re-running
+        ``equipartition_n``."""
+        self._errors_up_to_date = False
+
     # -- cost ------------------------------------------------------------
     def cost_function(self, error: np.ndarray) -> float:
         mean, chi2, frac_std, frac_range = ep_stats(error)

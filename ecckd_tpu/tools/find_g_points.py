@@ -240,6 +240,25 @@ def find_g_points(cfg: Config, argv=()) -> str:
     min_pressure = cfg.read_float("min_pressure", default=0.0)
     use_pallas = cfg.read_bool("use_pallas", default=None)
 
+    # Mesh-sharded candidate sweeps: the band's wavenumber axis is sharded
+    # over the mesh's spectral axis and interval/flux partials psum over ICI
+    # (partition.cost_kernel docstring; multi-chip form of the reference's
+    # OpenMP candidate loop, equipartition.h:100-104).  "auto" engages on a
+    # multi-chip TPU backend; force with sharded=1 (used by the CPU-mesh
+    # tests — the psum changes f64 summation order, so the default CPU path
+    # stays single-device for bit-stable partition determinism).
+    sharded_cfg = str(cfg.read_string("sharded", default="auto")).lower()
+    mesh = None
+    if sharded_cfg not in ("0", "no", "false"):
+        import jax
+        if jax.device_count() > 1 and (
+                sharded_cfg in ("1", "yes", "true")
+                or jax.default_backend() == "tpu"):
+            from ..parallel import make_mesh
+            mesh = make_mesh(data_parallel=1)
+            logs.log(f"Sharding candidate sweeps over "
+                     f"{mesh.shape['spectral']} devices (spectral axis)")
+
     single_gas_data: List[SingleGasData] = []
     planck_hl_cache = None
     surf_planck_cache = None
@@ -514,7 +533,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     surf_emissivity[sl], surf_planck[sl], flux_dn_surf[sl],
                     flux_up_toa[sl], planck_hl[:, sl],
                     bg_band, metric[:, sl], hr[:, sl],
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, mesh=mesh)
             else:
                 band_extras = None
                 if extras is not None:
@@ -531,7 +550,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     pressure_hl, ssi_reorder[sl], band_albedo[jband],
                     flux_dn_surf[sl], flux_up_toa[sl],
                     bg_band, metric[:, sl], hr[:, sl],
-                    extras=band_extras, use_pallas=use_pallas)
+                    extras=band_extras, use_pallas=use_pallas, mesh=mesh)
 
             eq = CkdEquipartition(kernel)
             eq.set_partition_max_iterations(max_iterations)
@@ -570,7 +589,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                         sb = (g_split[jband] + (1.0 - g_split[jband])
                               * _sqrt_bounds(nsubg))
                         se = np.zeros(nsubg)
-                        eq._errors_up_to_date = False
+                        eq.invalidate()
                         istatus = eq.equipartition_n(sb, se)
                     bounds_l2[ng:ng] = list(sb)
                     error_l2.extend(se)
@@ -587,7 +606,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     ng = int(min_g_points[jband])
                     bounds = _sqrt_bounds(ng)
                     error = np.zeros(ng)
-                    eq._errors_up_to_date = False
+                    eq.invalidate()
                     istatus = eq.equipartition_n(bounds, error)
                 elif ng > max_g_points[jband]:
                     logs.log(f"  {ng} intervals is more than maximum of "
@@ -595,7 +614,7 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     ng = int(max_g_points[jband])
                     bounds = _sqrt_bounds(ng)
                     error = np.zeros(ng)
-                    eq._errors_up_to_date = False
+                    eq.invalidate()
                     istatus = eq.equipartition_n(bounds, error)
 
             logs.log(f"  Equipartition status: {istatus.describe()}")

@@ -51,7 +51,7 @@ def test_equipartition(cfg: Config) -> int:
         bounds = np.linspace(0.0, 1.0, ni + 1)
         error = np.zeros(ni)
         init_range = ep_stats(te.calc_error_all(bounds))[3]
-        te._errors_up_to_date = False
+        te.invalidate()
         status = te.equipartition_n(bounds, error)
         print(f"***STATUS*** {status.describe()}")
         print(f"bounds = {np.array2string(bounds, precision=6)}")
