@@ -26,6 +26,58 @@ from ..ops.average import (GPOINT_AVERAGING_METHODS, gpoint_block_partials,
 SUPPORTED_METHODS = GPOINT_AVERAGING_METHODS
 
 
+def _check_method(averaging_method: str):
+    if averaging_method not in SUPPORTED_METHODS:
+        raise ValueError(
+            f"sharded averaging does not support {averaging_method!r}; "
+            f"choose from {SUPPORTED_METHODS}")
+
+
+def _sharded_block_partials(mesh, ng: int, g_point, optical_depth, weight,
+                            averaging_method: str, axis: str):
+    """Mesh-reduced per-g-point partial sums of one wavenumber block.
+
+    Shards the block's wavenumber axis over the mesh's ``axis``, reduces
+    each shard with one-hot MXU matmuls (ops.average.gpoint_block_partials)
+    and combines shard partials with psum/pmin/pmax over ICI.  Returns the
+    replicated partials dict as host numpy arrays — the same quantities
+    ops.streaming accumulates across blocks, so streaming and mesh
+    sharding COMPOSE: stream blocks from disk, reduce each on the mesh,
+    combine on host (see streaming_sharded_average_od_to_gpoints).
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+
+    od = jnp.asarray(optical_depth)
+    w = jnp.broadcast_to(jnp.asarray(weight), od.shape)
+    gp = jnp.asarray(g_point, jnp.int32)
+
+    nshard = mesh.shape[axis]
+    pad = (-od.shape[1]) % nshard
+    if pad:
+        od = jnp.pad(od, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        gp = jnp.pad(gp, (0, pad), constant_values=-1)  # unassigned
+
+    def local(od_l, w_l, gp_l):
+        parts = gpoint_block_partials(ng, gp_l, od_l, w_l, averaging_method)
+        # Combine shard partials over the spectral mesh axis (ICI):
+        # extremum keys ride pmin/pmax, everything else psum.
+        return {k: (jax.lax.pmin(v, axis) if k == "min"
+                    else jax.lax.pmax(v, axis) if k == "max"
+                    else jax.lax.psum(v, axis))
+                for k, v in parts.items()}
+
+    acc = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis)),
+        out_specs=P()))(od, w, gp)
+    return jax.device_get(acc)
+
+
 def sharded_average_od_to_gpoints(mesh, ng: int, g_point, optical_depth,
                                   weight, averaging_method: str,
                                   axis: str = "spectral",
@@ -48,42 +100,48 @@ def sharded_average_od_to_gpoints(mesh, ng: int, g_point, optical_depth,
       (od_fit, min_od, max_od), each (nz, ng) — same semantics as
       ops.average.average_od_to_gpoints.
     """
-    from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:   # older jax
-        from jax.experimental.shard_map import shard_map
+    _check_method(averaging_method)
+    acc = _sharded_block_partials(mesh, ng, g_point, optical_depth, weight,
+                                  averaging_method, axis)
+    return finalize_gpoint_partials(acc, averaging_method,
+                                    pressure_fl=pressure_fl)
 
-    if averaging_method not in SUPPORTED_METHODS:
-        raise ValueError(
-            f"sharded averaging does not support {averaging_method!r}; "
-            f"choose from {SUPPORTED_METHODS}")
 
-    od = jnp.asarray(optical_depth)
-    nz, nwav = od.shape
-    w = jnp.broadcast_to(jnp.asarray(weight), od.shape)
-    gp = jnp.asarray(g_point, jnp.int32)
+def streaming_sharded_average_od_to_gpoints(mesh, reader, ng: int, g_point,
+                                            weight_fn,
+                                            averaging_method: str,
+                                            block_wav: int = 1 << 20,
+                                            axis: str = "spectral",
+                                            pressure_fl=None
+                                            ) -> Tuple[np.ndarray,
+                                                       np.ndarray,
+                                                       np.ndarray]:
+    """Streamed AND mesh-sharded g-point averaging — the multi-hundred-GB
+    multi-chip execution the reference's design centers on
+    (create_look_up_table.cpp:242-340; doc/ecckd_documentation.tex:225-228:
+    spectra too large to be resident even on a whole pod slice's HBM).
 
-    nshard = mesh.shape[axis]
-    pad = (-nwav) % nshard
-    if pad:
-        od = jnp.pad(od, ((0, 0), (0, pad)))
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-        gp = jnp.pad(gp, (0, pad), constant_values=-1)  # unassigned
+    The host streams wavenumber blocks from disk (``reader.iter_blocks``,
+    double-buffered when backed by the native loader); each block is
+    sharded over the mesh's spectral axis and reduced to per-g-point
+    partials with psum/pmin/pmax over ICI; the tiny (nz, ng) partials
+    accumulate on host across blocks exactly as in the single-device
+    streaming path (ops.streaming), so all three reductions commute and
+    any block size / shard count gives the same result.
 
-    def local(od_l, w_l, gp_l):
-        parts = gpoint_block_partials(ng, gp_l, od_l, w_l, averaging_method)
-        # Combine shard partials over the spectral mesh axis (ICI):
-        # extremum keys ride pmin/pmax, everything else psum.
-        return {k: (jax.lax.pmin(v, axis) if k == "min"
-                    else jax.lax.pmax(v, axis) if k == "max"
-                    else jax.lax.psum(v, axis))
-                for k, v in parts.items()}
+    Args mirror ops.streaming.streaming_average_od_to_gpoints plus
+    ``mesh``/``axis``.
+    """
+    from ..ops.streaming import _combine
 
-    acc = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(axis)),
-        out_specs=P()))(od, w, gp)
+    _check_method(averaging_method)
+    acc = None
+    for iwav0, od_block in reader.iter_blocks(block_wav=block_wav):
+        nb = od_block.shape[1]
+        part = _sharded_block_partials(
+            mesh, ng, g_point[iwav0:iwav0 + nb], od_block,
+            weight_fn(iwav0, nb), averaging_method, axis)
+        acc = part if acc is None else _combine(acc, part)
     return finalize_gpoint_partials(acc, averaging_method,
                                     pressure_fl=pressure_fl)
 
@@ -148,5 +206,83 @@ def sharded_average_od_to_gpoints_multihost(mesh, ng: int, g_point_local,
     # Outputs are replicated -> addressable on every process
     acc = {k: np.asarray(jax.device_get(
         v.addressable_data(0))) for k, v in acc.items()}
+    return finalize_gpoint_partials(acc, averaging_method,
+                                    pressure_fl=pressure_fl)
+
+
+def streaming_sharded_average_od_to_gpoints_multihost(
+        mesh, ng: int, g_point_local, read_block_local, nwav_local: int,
+        weight_fn, averaging_method: str, block_wav: int = 1 << 20,
+        axis: str = "spectral", pressure_fl=None
+        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-controller streamed+sharded averaging: every PROCESS streams
+    its own contiguous wavenumber slice from local disk in blocks.
+
+    Per round, each process reads one local block
+    (``read_block_local(iwav0, nb)`` -> (nz, nb), local indices), the
+    blocks assemble into a global device array with
+    ``jax.make_array_from_process_local_data`` (each host's data lands on
+    its own devices — no cross-host block movement), the psum/pmin/pmax
+    shard_map reduction runs over the global mesh, and the replicated
+    (nz, ng) partials accumulate on every host across rounds.  The
+    per-g-point partials are position-independent, so interleaving the
+    processes' blocks in the assembled array is exact.
+
+    Every process MUST pass the same ``nwav_local`` and ``block_wav``
+    (collectives require identical round counts and block shapes).
+    ``g_point_local``/``weight_fn`` use LOCAL indices, like
+    ops.streaming's ``weight_fn``.
+    """
+    from ..ops.streaming import _combine
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+
+    _check_method(averaging_method)
+    nproc = jax.process_count()
+    gp_local = np.asarray(g_point_local, np.int32)
+
+    def reduce_block(od_b, w_b, gp_b):
+        nz, nb = od_b.shape
+        # Pad to the local device count along ``axis`` so the global
+        # assembly shards evenly; padded entries are unassigned (-1).
+        nloc_dev = mesh.shape[axis] // nproc
+        pad = (-nb) % max(nloc_dev, 1)
+        if pad:
+            od_b = np.pad(od_b, ((0, 0), (0, pad)))
+            w_b = np.pad(w_b, ((0, 0), (0, pad)))
+            gp_b = np.pad(gp_b, (0, pad), constant_values=-1)
+        nbp = nb + pad
+        od_g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, axis)), od_b, (nz, nproc * nbp))
+        w_g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, axis)), w_b, (nz, nproc * nbp))
+        gp_g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis)), gp_b, (nproc * nbp,))
+
+        def local(od_l, w_l, gp_l):
+            parts = gpoint_block_partials(ng, gp_l, od_l, w_l,
+                                          averaging_method)
+            return {k: (jax.lax.pmin(v, axis) if k == "min"
+                        else jax.lax.pmax(v, axis) if k == "max"
+                        else jax.lax.psum(v, axis))
+                    for k, v in parts.items()}
+
+        acc = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P(axis)),
+            out_specs=P()))(od_g, w_g, gp_g)
+        return {k: np.asarray(jax.device_get(v.addressable_data(0)))
+                for k, v in acc.items()}
+
+    acc = None
+    for i0 in range(0, nwav_local, block_wav):
+        nb = min(block_wav, nwav_local - i0)
+        od_b = np.asarray(read_block_local(i0, nb), np.float64)
+        w_b = np.broadcast_to(np.asarray(weight_fn(i0, nb)), od_b.shape)
+        part = reduce_block(od_b, w_b, gp_local[i0:i0 + nb])
+        acc = part if acc is None else _combine(acc, part)
     return finalize_gpoint_partials(acc, averaging_method,
                                     pressure_fl=pressure_fl)

@@ -41,8 +41,12 @@ class _Execution:
     streams one profile at a time for the same reason,
     create_look_up_table.cpp:242-298; CKDMIP spectra are ~5.6M wavenumbers
     so the full array cannot be resident).  ``sharded``: "auto" engages the
-    wavenumber-sharded mesh reduction (parallel.sharded_average) for dense
-    in-memory averaging when more than one device is attached.
+    wavenumber-sharded mesh reduction (parallel.sharded_average) when more
+    than one device is attached.  The two COMPOSE: with both engaged, each
+    streamed block is sharded over the mesh and reduced with
+    psum/pmin/pmax, and the tiny per-g partials accumulate on host
+    (parallel.streaming_sharded_average_od_to_gpoints) — the execution for
+    spectra too large even for a pod slice's combined HBM.
     """
 
     def __init__(self, cfg: Config):
@@ -97,12 +101,22 @@ def _average_profile(ng, g_point, optical_depth, weight, averaging_method,
 
 def _average_profile_streaming(ng, g_point, blocks, weight_fn,
                                averaging_method, pressure_fl, pressure_hl,
-                               reference_surface_vmr, block_wav):
-    """Streaming form: blocks is a ProfileBlocks; weight_fn(iwav0, nb)."""
-    from ..ops.streaming import streaming_average_od_to_gpoints
-    fit, mn, mx = streaming_average_od_to_gpoints(
-        blocks, ng, g_point, weight_fn, averaging_method,
-        block_wav=block_wav, pressure_fl=pressure_fl)
+                               reference_surface_vmr, block_wav, mesh=None):
+    """Streaming form: blocks is a ProfileBlocks; weight_fn(iwav0, nb).
+    With ``mesh`` the two execution axes compose: each streamed block is
+    sharded over the mesh and psum-reduced (create_look_up_table.cpp:242-340
+    is the host-streaming original; the mesh reduction is this framework's
+    scaling axis on top of it)."""
+    if mesh is not None:
+        from ..parallel import streaming_sharded_average_od_to_gpoints
+        fit, mn, mx = streaming_sharded_average_od_to_gpoints(
+            mesh, blocks, ng, g_point, weight_fn, averaging_method,
+            block_wav=block_wav, pressure_fl=pressure_fl)
+    else:
+        from ..ops.streaming import streaming_average_od_to_gpoints
+        fit, mn, mx = streaming_average_od_to_gpoints(
+            blocks, ng, g_point, weight_fn, averaging_method,
+            block_wav=block_wav, pressure_fl=pressure_fl)
     k = od_to_molar_abs(fit, pressure_hl, reference_surface_vmr)
     kmin = od_to_molar_abs(mn, pressure_hl, reference_surface_vmr)
     kmax = od_to_molar_abs(mx, pressure_hl, reference_surface_vmr)
@@ -297,7 +311,7 @@ def create_lut(cfg: Config, argv=()) -> str:
                     k, kmin, kmax = _average_profile_streaming(
                         ng, g_point, pb, weight_fn, averaging_method,
                         pressure_fl, pressure_hl, ref_vmr,
-                        execution.block_wav)
+                        execution.block_wav, mesh=execution.mesh())
                 else:
                     sp = pb.materialize()
                     if not do_sw:

