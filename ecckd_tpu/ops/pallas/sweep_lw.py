@@ -280,9 +280,9 @@ def rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
         i1, i2, interpret=interpret, form=FORM if form is None else form)
 
 
-# Keep a handle for cache clearing in tuning scripts
+# Keep a handle for cache clearing in tuning scripts (public jit API)
 rt_lw_bb_intervals_pallas._clear_cache = (
-    lambda: _rt_lw_bb_intervals_pallas._clear_cache())
+    lambda: _rt_lw_bb_intervals_pallas.clear_cache())
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "form"))
@@ -321,7 +321,9 @@ def _rt_lw_bb_intervals_pallas(planck_hl, bg_od, od_fit, seg_of_wav,
 
     grid = (ntile,)
     if form is None:
-        form = FORM
+        # The public wrapper always resolves form OUTSIDE the jit; a None
+        # here would bake the import-time FORM into this cache entry.
+        raise ValueError("form must be resolved by the public wrapper")
     kernel_fn = _sweep_kernel_scan if form == "scan" else _sweep_kernel
     kernel = functools.partial(kernel_fn, nlay, nseg, tile)
     out_shape = [jax.ShapeDtypeStruct((nlev1, nseg), dtype),

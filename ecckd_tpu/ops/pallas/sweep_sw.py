@@ -143,7 +143,7 @@ def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
 
 
 rt_sw_bb_intervals_pallas._clear_cache = (
-    lambda: _rt_sw_bb_intervals_pallas._clear_cache())
+    lambda: _rt_sw_bb_intervals_pallas.clear_cache())
 
 
 @functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
@@ -178,7 +178,9 @@ def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
     if form is None:
-        form = FORM
+        # The public wrapper always resolves form OUTSIDE the jit; a None
+        # here would bake the import-time FORM into this cache entry.
+        raise ValueError("form must be resolved by the public wrapper")
     kernel = functools.partial(_sweep_kernel, nlay, nseg, tile,
                                float(cos_sza), float(albedo),
                                bool(with_upwelling), str(form))

@@ -26,6 +26,20 @@ import jax.numpy as jnp
 PALLAS_TILE = int(_os.environ.get("ECCKD_ISUM_TILE", 2048))
 
 
+def default_device_is_tpu() -> bool:
+    """True when computations with unpinned operands will run on a TPU.
+
+    Honors ``jax.default_device`` overrides: under
+    ``with jax.default_device(cpu)`` on a TPU-attached host (bench.py's
+    CPU comparison runs) the default *backend* is still "tpu" but the
+    computation runs on CPU, where a non-interpret ``pallas_call`` would
+    fail to lower (ADVICE r3)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _member_dot(v, member):
     """``v @ member`` where ``member`` contains only exact 0/1 values.
 
@@ -36,7 +50,7 @@ def _member_dot(v, member):
     MXU passes, ~2^-17 truncation error (same trick as
     ops/pallas/sweep_lw._split_dot).  Other dtypes/backends use a plain
     matmul (f32/f64 on CPU are exact to their own precision)."""
-    if v.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    if v.dtype == jnp.float32 and default_device_is_tpu():
         bf = jnp.bfloat16
         v_hi = v.astype(bf)
         v_lo = (v - v_hi.astype(v.dtype)).astype(bf)
@@ -148,8 +162,14 @@ def _pallas_groups(parts, n):
 
 def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
                        dtype=None, tile: int = 8192,
-                       use_pallas=None, pallas_interpret: bool = False):
+                       use_pallas=None, pallas_interpret: bool = False,
+                       pallas_tile: int = None):
     """Stacked interval sums with per-tile operand construction.
+
+    ``tile`` applies to the XLA fallback path only; the fused Pallas fast
+    path uses ``pallas_tile`` (default: module PALLAS_TILE /
+    ECCKD_ISUM_TILE) — the two paths have different VMEM/latency
+    trade-offs and are tuned independently (ADVICE r3).
 
     Each element of ``parts`` is a callable ``part(start, size) ->
     (rows, size)`` returning its block of operand rows for the wavenumber
@@ -193,14 +213,15 @@ def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
         # distinct shape costs a fresh Pallas compile (minutes through the
         # TPU relay, which does not honor the persistent cache), which
         # only pays for itself when the per-call work is large.
-        use_pallas = (jax.default_backend() == "tpu"
+        use_pallas = (default_device_is_tpu()
                       and dtype == jnp.float32 and n >= (1 << 16))
     if use_pallas:
         grouped = _pallas_groups(parts, n)
         if grouped is not None:
             meta, flat = grouped
             return _interval_sum_fused_pallas(
-                meta, flat, i1, i2, dtype, PALLAS_TILE,
+                meta, flat, i1, i2, dtype,
+                PALLAS_TILE if pallas_tile is None else int(pallas_tile),
                 bool(pallas_interpret))
 
     def reduce_tile(start, size):

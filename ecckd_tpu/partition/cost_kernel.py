@@ -188,7 +188,8 @@ class CandidateCostLw(_CandidateCostBase):
         self.flux_weight = float(flux_weight)
         # Fused Pallas sweep kernel: default on for f32 TPU execution
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
+            from ..ops.segments import default_device_is_tpu
+            use_pallas = (default_device_is_tpu()
                           and jnp.asarray(metric).dtype == jnp.float32)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
@@ -281,7 +282,8 @@ class CandidateCostSw(_CandidateCostBase):
         self.averaging_method = averaging_method
         self.flux_weight = float(flux_weight)
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
+            from ..ops.segments import default_device_is_tpu
+            use_pallas = (default_device_is_tpu()
                           and jnp.asarray(metric).dtype == jnp.float32)
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = bool(pallas_interpret)
