@@ -78,8 +78,13 @@ def streaming_average_od_to_gpoints(reader, ng, g_point, weight_fn,
         raise ValueError(
             f"streaming averaging does not support {averaging_method!r}; "
             f"choose from {GPOINT_AVERAGING_METHODS}")
+    from ..io.prefetch import prefetch_iter
     acc = None
-    for iwav0, od_block in reader.iter_blocks(block_wav=block_wav):
+    # One block read ahead on a background thread: overlaps h5py/NetCDF
+    # reads with device accumulation (the native .spbin loader already
+    # double-buffers below this layer; this covers every other source).
+    for iwav0, od_block in prefetch_iter(
+            reader.iter_blocks(block_wav=block_wav), depth=2):
         nb = od_block.shape[1]
         gp_block = g_point[iwav0:iwav0 + nb]
         w_block = weight_fn(iwav0, nb)

@@ -53,11 +53,16 @@ def _read_reordered_od(pb, irank, block_wav):
     rank positions, so only ONE (nlay, nwav) array is ever resident — the
     dense gather ``od[:, ireorder]`` would peak at two full copies (~5 GB
     at CKDMIP scale).  Equivalent to read_merged_spectrum + reorder
-    (find_g_points.cpp reads then permutes the same way).
+    (find_g_points.cpp reads then permutes the same way).  Reads run one
+    block AHEAD on a background thread (io.prefetch), overlapping disk
+    I/O with the scatter — the reference's reads are synchronous and
+    dominate its wall clock (doc/ecckd_documentation.tex:225-228).
     """
+    from ..io.prefetch import prefetch_iter
     od = np.empty((pb.nlay, pb.nwav))
     col_od = np.zeros(pb.nlay)
-    for i0, block in pb.iter_blocks(block_wav=block_wav):
+    for i0, block in prefetch_iter(pb.iter_blocks(block_wav=block_wav),
+                                   depth=2):
         od[:, irank[i0:i0 + block.shape[1]]] = block
         col_od += block.sum(axis=1)
     logs.log(f"    Column optical depth: {col_od.mean():g} +/- "
