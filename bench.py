@@ -580,7 +580,9 @@ def main():
         use_pallas = None
         if os.environ.get("BENCH_KERNEL"):
             use_pallas = os.environ["BENCH_KERNEL"] == "pallas"
-        res = run_pipeline_bench(nwav, NLAY, use_pallas=use_pallas)
+        res = run_pipeline_bench(
+            nwav, NLAY, use_pallas=use_pallas,
+            hr_tol=float(os.environ.get("BENCH_HR_TOL", 0.2)))
         print(json.dumps({
             "metric": "pipeline_end_to_end_seconds",
             "value": res["total_s"],
