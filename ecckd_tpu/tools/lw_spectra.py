@@ -15,9 +15,52 @@ import numpy as np
 from .. import logs
 from ..config import Config
 from ..io import NcFile, NcWriter
-from ..io.spectrum import read_merged_spectrum
-from ..ops.average import average_od_to_gpoints
+from ..io.spectrum import open_merged_spectrum_profile
+from ..ops.average import gpoint_block_partials, finalize_gpoint_partials
 from .common import tool_prologue, find_file, setup_jax
+
+
+def _gpoint_profile_blockwise(pb, g_point, ng, planck_function, rt_lw,
+                              block_wav):
+    """One profile's broadband + g-point-collapsed fluxes and averaged od,
+    streamed in wavenumber blocks (full spectral flux arrays never exist;
+    the per-wavenumber RT is independent, so blocks reproduce the dense
+    evaluation bitwise).  Reads run one block ahead (io.prefetch)."""
+    import jax
+    from ..io.prefetch import prefetch_iter
+    from ..ops.streaming import _combine
+
+    nlay = pb.nlay
+    onehot_cols = np.arange(ng)
+    flux_dn = np.zeros(nlay + 1)
+    flux_up = np.zeros(nlay + 1)
+    fd_g = np.zeros((nlay + 1, ng))
+    fu_g = np.zeros((nlay + 1, ng))
+    acc = None
+    pressure_fl = 0.5 * (pb.pressure_hl[:-1] + pb.pressure_hl[1:])
+    t_x_p = pb.temperature_hl * pb.pressure_hl
+    temperature_fl = 0.5 * (t_x_p[:-1] + t_x_p[1:]) / pressure_fl
+    for i0, od_blk in prefetch_iter(pb.iter_blocks(block_wav=block_wav),
+                                    depth=2):
+        nb = od_blk.shape[1]
+        sl = slice(i0, i0 + nb)
+        pblk = np.asarray(planck_function(
+            pb.temperature_hl, pb.wavenumber[sl], pb.d_wavenumber[sl]))
+        fd, fu = rt_lw(pblk, od_blk, np.ones(nb), pblk[-1])
+        fd, fu = np.asarray(fd), np.asarray(fu)
+        flux_dn += fd.sum(1)
+        flux_up += fu.sum(1)
+        onehot = (g_point[sl][:, None] == onehot_cols[None, :]).astype(
+            np.float64)
+        fd_g += fd @ onehot
+        fu_g += fu @ onehot
+        planck_fl = np.asarray(planck_function(
+            temperature_fl, pb.wavenumber[sl], pb.d_wavenumber[sl]))
+        part = jax.device_get(gpoint_block_partials(
+            ng, g_point[sl], od_blk, planck_fl, "transmission"))
+        acc = part if acc is None else _combine(acc, part)
+    od_g, _, _ = finalize_gpoint_partials(acc, "transmission")
+    return flux_dn, flux_up, fd_g, fu_g, np.asarray(od_g)
 
 
 def lw_spectra(cfg: Config, argv=()) -> str:
@@ -38,6 +81,7 @@ def lw_spectra(cfg: Config, argv=()) -> str:
 
     iprofile = cfg.read_int("iprofile", default=None)
     do_one_profile = iprofile is not None
+    block_wav = cfg.read_int("streaming_block_wav", default=1 << 20)
 
     ncol = 10000
     icol = iprofile if do_one_profile else 0
@@ -47,9 +91,10 @@ def lw_spectra(cfg: Config, argv=()) -> str:
 
     while icol < ncol:
         logs.log(f"Profile {icol}")
-        sp = read_merged_spectrum(cfg, icol, "")
-        ncol = sp.ncol
-        nlay, nwav = sp.optical_depth.shape
+        src = open_merged_spectrum_profile(cfg, icol, "")
+        ncol = src.ncol
+        nlay, nwav = src.nlay, src.nwav
+        sp = src if have_gpoints else src.materialize()
 
         if is_first:
             is_first = False
@@ -109,33 +154,32 @@ def lw_spectra(cfg: Config, argv=()) -> str:
         w.write(sp.temperature_hl, "temperature_hl", index=iout)
         w.write(sp.vmr_fl, "vmr_fl", index=iout)
 
-        logs.log("  Computing Planck function")
-        planck_hl = np.asarray(planck_function(
-            sp.temperature_hl, sp.wavenumber, sp.d_wavenumber))
-        logs.log("  Performing longwave radiative transfer")
-        fd, fu = rt_lw(planck_hl, sp.optical_depth,
-                       np.ones(nwav), planck_hl[-1])
-        fd, fu = np.asarray(fd), np.asarray(fu)
-        w.write(fd.sum(1), "flux_dn_lw", index=iout)
-        w.write(fu.sum(1), "flux_up_lw", index=iout)
-
         if not have_gpoints:
+            logs.log("  Computing Planck function")
+            planck_hl = np.asarray(planck_function(
+                sp.temperature_hl, sp.wavenumber, sp.d_wavenumber))
+            logs.log("  Performing longwave radiative transfer")
+            fd, fu = rt_lw(planck_hl, sp.optical_depth,
+                           np.ones(nwav), planck_hl[-1])
+            fd, fu = np.asarray(fd), np.asarray(fu)
+            w.write(fd.sum(1), "flux_dn_lw", index=iout)
+            w.write(fu.sum(1), "flux_up_lw", index=iout)
             w.write(sp.optical_depth, "optical_depth", index=iout)
             w.write(fd, "spectral_flux_dn_lw", index=iout)
             w.write(fu, "spectral_flux_up_lw", index=iout)
         else:
-            pressure_fl = 0.5 * (sp.pressure_hl[:-1] + sp.pressure_hl[1:])
-            t_x_p = sp.temperature_hl * sp.pressure_hl
-            temperature_fl = 0.5 * (t_x_p[:-1] + t_x_p[1:]) / pressure_fl
-            planck_fl = np.asarray(planck_function(
-                temperature_fl, sp.wavenumber, sp.d_wavenumber))
-            spectral_od, _, _ = average_od_to_gpoints(
-                ng, g_point, sp.optical_depth, planck_fl, "transmission")
-            onehot = (g_point[:, None]
-                      == np.arange(ng)[None, :]).astype(np.float64)
-            w.write(np.asarray(spectral_od), "optical_depth", index=iout)
-            w.write(fd @ onehot, "spectral_flux_dn_lw", index=iout)
-            w.write(fu @ onehot, "spectral_flux_up_lw", index=iout)
+            # Blockwise: collapsing to g-points needs no full spectral
+            # flux arrays (ref lw_spectra.cpp holds them dense; at CKDMIP
+            # scale those are ~GBs per profile)
+            logs.log("  Planck + longwave RT in wavenumber blocks")
+            flux_dn, flux_up, fd_g, fu_g, od_g = _gpoint_profile_blockwise(
+                src, g_point, ng, planck_function, rt_lw, block_wav)
+            w.write(flux_dn, "flux_dn_lw", index=iout)
+            w.write(flux_up, "flux_up_lw", index=iout)
+            w.write(od_g, "optical_depth", index=iout)
+            w.write(fd_g, "spectral_flux_dn_lw", index=iout)
+            w.write(fu_g, "spectral_flux_up_lw", index=iout)
+        src.close()
 
         if do_one_profile:
             break

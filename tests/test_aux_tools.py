@@ -82,6 +82,65 @@ class TestLwSpectra:
         assert f.read("flux_up_lw").shape[0] == 1
         f.close()
 
+    def test_gpoint_collapse_blockwise(self, spectra, tmp_path):
+        """The g-point-collapsed branch streams wavenumber blocks; it must
+        match the dense one-hot reduction and be block-size invariant."""
+        from ecckd_tpu.io.spectrum import read_merged_spectrum
+        from ecckd_tpu.ops import planck_function, rt_lw
+        from ecckd_tpu.ops.average import average_od_to_gpoints
+
+        # Non-saturating od: saturated transmission means (1 - mean ~ 1e-16)
+        # amplify summation-order noise through -log1p(-mean), which would
+        # test float noise rather than the blockwise execution
+        spec = synth_spectrum_file(str(tmp_path / "h2o_thin.h5"),
+                                   molecule="h2o", nwav=512, ncol=1,
+                                   seed=3, od_scale=1e-3)
+        nwav, ng = 512, 4
+        gp = np.repeat(np.arange(ng), nwav // ng)
+        gfile = str(tmp_path / "gp.h5")
+        with NcWriter(gfile) as w:
+            w.define_dimension("wavenumber", nwav)
+            w.define_variable("g_point", "short", "wavenumber")
+            w.write(gp.astype(np.int16), "g_point")
+
+        outs = []
+        for block in ("100", "512"):
+            out = str(tmp_path / f"lbl_g_{block}.h5")
+            lw_spectra(Config({
+                "output": out, "input": spec, "iprofile": "0",
+                "gpoints": gfile, "streaming_block_wav": block,
+            }), argv=["lw_spectra"])
+            outs.append(out)
+
+        sp = read_merged_spectrum(Config({"input": spec}), 0)
+        planck_hl = np.asarray(planck_function(
+            sp.temperature_hl, sp.wavenumber, sp.d_wavenumber))
+        fd, fu = map(np.asarray, rt_lw(planck_hl, sp.optical_depth,
+                                       np.ones(nwav), planck_hl[-1]))
+        onehot = (gp[:, None] == np.arange(ng)[None, :]).astype(np.float64)
+        pressure_fl = 0.5 * (sp.pressure_hl[:-1] + sp.pressure_hl[1:])
+        t_x_p = sp.temperature_hl * sp.pressure_hl
+        t_fl = 0.5 * (t_x_p[:-1] + t_x_p[1:]) / pressure_fl
+        planck_fl = np.asarray(planck_function(t_fl, sp.wavenumber,
+                                               sp.d_wavenumber))
+        od_ref, _, _ = average_od_to_gpoints(
+            ng, gp, sp.optical_depth, planck_fl, "transmission")
+
+        for out in outs:
+            f = NcFile(out)
+            # Output variables are f32 on disk -> f32-rounding tolerance
+            np.testing.assert_allclose(f.read("spectral_flux_dn_lw",
+                                              index=0), fd @ onehot,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(f.read("spectral_flux_up_lw",
+                                              index=0), fu @ onehot,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(f.read("flux_dn_lw", index=0),
+                                       fd.sum(1), rtol=1e-5)
+            np.testing.assert_allclose(f.read("optical_depth", index=0),
+                                       np.asarray(od_ref), rtol=1e-5)
+            f.close()
+
 
 class TestReorderCloud:
     def test_cloud_ordering(self, spectra, tmp_path):
