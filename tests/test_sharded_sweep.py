@@ -191,3 +191,53 @@ def test_find_g_points_tool_sharded_matches_dense(tmp_path):
     np.testing.assert_allclose(fd.read("h2o_error"), fs.read("h2o_error"),
                                rtol=1e-9)
     fd.close(); fs.close()
+
+
+def test_find_g_points_tool_sharded_matches_dense_sw(tmp_path):
+    """SW total-transmission (low/high-scaled truth extras + upwelling)
+    through the find_g_points tool: sharded=1 must match sharded=0."""
+    from ecckd_tpu.config import Config
+    from ecckd_tpu.io import NcFile, read_spectrum
+    from ecckd_tpu.tools.find_g_points import find_g_points
+    from ecckd_tpu.tools.reorder_spectrum import reorder_spectrum
+    from synth import synth_spectrum_file, synth_ssi_file
+
+    h2o = synth_spectrum_file(str(tmp_path / "h2o_sw.h5"), molecule="h2o",
+                              nwav=1024, ncol=1, seed=11, is_sw=True)
+    sp = read_spectrum(h2o, 0)
+    ssi_path, _ = synth_ssi_file(str(tmp_path / "ssi.h5"), sp.wavenumber)
+    order = str(tmp_path / "order_sw.h5")
+    reorder_spectrum(Config({"input": h2o, "output": order,
+                             "ssi": ssi_path,
+                             "threshold_optical_depth": "0.25"}),
+                     argv=["r"])
+
+    def run(tag, sharded):
+        out = str(tmp_path / f"gpoints_sw_{tag}.h5")
+        find_g_points(Config({
+            "output": out, "gases": "h2o", "ssi": ssi_path,
+            "heating_rate_tolerance": "0.8",
+            "averaging_method": "total-transmission",
+            "sharded": sharded,
+            "h2o.reordering_input": order, "h2o.input": h2o,
+            "h2o.min_scaling": "0.5", "h2o.max_scaling": "2.0",
+        }), argv=["find_g_points"])
+        return out
+
+    fd, fs = NcFile(run("dense", "0")), NcFile(run("sharded", "1"))
+    # The psum reorders f64 summation, so secant-search decisions can move
+    # individual bounds by a rank or two — assert the PARTITION is
+    # structurally identical (same g-point count, bounds within a few
+    # ranks, <1% of wavenumber assignments moved); exact cost equality is
+    # asserted at kernel level above.
+    np.testing.assert_array_equal(fd.read("h2o_n_g_points"),
+                                  fs.read("h2o_n_g_points"))
+    assert np.max(np.abs(fd.read("h2o_rank1").astype(np.int64)
+                         - fs.read("h2o_rank1").astype(np.int64))) <= 3
+    gp_d, gp_s = fd.read("g_point"), fs.read("g_point")
+    assert np.mean(gp_d != gp_s) < 0.01
+    np.testing.assert_allclose(fd.read("h2o_error"), fs.read("h2o_error"),
+                               rtol=5e-2)
+    np.testing.assert_allclose(fd.read("solar_irradiance"),
+                               fs.read("solar_irradiance"), rtol=2e-2)
+    fd.close(); fs.close()
