@@ -33,10 +33,12 @@ from ...constants import LW_DIFFUSIVITY
 # Wavenumber tile width. VMEM holds ~2 MB of per-tile state per 1024
 # lanes (bg_od/planck blocks + recurrence temporaries); larger tiles
 # amortize dependency latency and grow the K dimension of the interval
-# reduction matmuls. Measured on a v5e chip (scan form, nwav=2^20,
-# nlay=50, nseg=64): 4096 = 4.46 ms, 8192 = 4.40 ms, 2048 = 4.73 ms —
-# 4096 chosen (8192 is within noise but doubles VMEM pressure).
-# Override with ECCKD_SWEEP_TILE (bench tuning).
+# reduction matmuls. Measured on a v5e chip (scan form, nlay=50,
+# nseg=64): at nwav=2^21 the ISOLATED sweep prefers 8192 (8.75 ms vs
+# 9.04), but the FULL chained kernel (isum+sweep+cost, the production
+# shape) measures 8192 = 8.07e9 vs 4096 = 8.37e9 bins*layers/s — VMEM
+# pressure interacts with the fused interval-sum pass — so 4096 stays
+# the default. Override with ECCKD_SWEEP_TILE.
 import os as _os
 TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 4096))
 

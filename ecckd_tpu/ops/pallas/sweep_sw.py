@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 from ...constants import SW_DIFFUSE_SECANT
 
-# See sweep_lw.TILE: 2048 amortizes the serial recurrence latency and
-# doubles the reduction matmul's K while staying well inside VMEM.
-TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 2048))
+# See sweep_lw.TILE. Measured on a v5e chip at nwav=2^21: 4096 =
+# 7.09 ms vs 2048 = 7.35 ms (+3.7%), so 4096 is the default.
+TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 4096))
 
 # Recurrence form (see sweep_lw.FORM): both SW sweeps are pure
 # transmittance products, so the "scan" form needs only multiplicative
