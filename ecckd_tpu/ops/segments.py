@@ -64,7 +64,13 @@ def _member_dot(v, member):
 def _isum_pallas_kernel(group_meta, nseg, tile, i1_ref, i2_ref, *refs):
     """Fused interval sums, one Pallas pass: per tile, rebuild every
     part's operand rows (elementwise products, (1, tile) rows broadcast),
-    stack them, and reduce against ONE membership matmul on the MXU."""
+    stack them, and reduce against ONE membership matmul on the MXU.
+
+    ``group_meta`` entries are ``(operand_indices, rows)``: indices into
+    the DEDUPLICATED operand list, so an array appearing in several parts
+    (e.g. the Planck weights in both the fit numerator product and the
+    fit denominator) is staged HBM->VMEM exactly once per tile.
+    """
     from jax.experimental import pallas as pl
     from .pallas.sweep_lw import _split_dot
 
@@ -81,12 +87,10 @@ def _isum_pallas_kernel(group_meta, nseg, tile, i1_ref, i2_ref, *refs):
               & (idx <= i2_ref[0, :][None, :])).astype(out_ref.dtype)
 
     blocks = []
-    k = 0
-    for n_arrays, rows in group_meta:
+    for operand_indices, rows in group_meta:
         prod = None
-        for _ in range(n_arrays):
+        for k in operand_indices:
             blk = in_refs[k][:, :]
-            k += 1
             prod = blk if prod is None else prod * blk
         if prod.shape[0] != rows:   # all-(1, tile) product group
             prod = jnp.broadcast_to(prod, (rows, tile))
@@ -137,27 +141,40 @@ def _interval_sum_fused_pallas(group_meta, arrays, i1, i2, dtype, tile,
 
 
 def _pallas_groups(parts, n):
-    """(group_meta, flat_arrays) when every part is a ``part_of`` product
+    """(group_meta, unique_arrays) when every part is a ``part_of`` product
     of bound arrays over the full reduced axis; None otherwise (custom
-    callables fall back to the XLA path)."""
+    callables fall back to the XLA path).
+
+    Identical operand arrays (by object identity — ``part_of`` holds the
+    caller's references) are deduplicated: each meta entry carries the
+    indices of its operands in the unique list, so the kernel stages each
+    distinct array once per tile instead of once per part occurrence
+    (e.g. the transmission fit reads its Planck weights in TWO parts —
+    dedup cuts that group's HBM->VMEM staging by a third).
+    """
     meta = []
-    flat = []
+    unique = []
+    index_of = {}
     for p in parts:
         arrs = getattr(p, "arrays", None)
         if arrs is None:
             return None
-        group = []
-        for a in arrs:
-            a = jnp.asarray(a)
+        idxs = []
+        rows = 1
+        for orig in arrs:
+            a = jnp.asarray(orig)
             if a.ndim == 1:
                 a = a[None, :]
             if a.ndim != 2 or a.shape[-1] != n:
                 return None
-            group.append(a)
-        rows = max(a.shape[0] for a in group)
-        meta.append((len(group), rows))
-        flat.extend(group)
-    return tuple(meta), tuple(flat)
+            key = id(orig)
+            if key not in index_of:
+                index_of[key] = len(unique)
+                unique.append(a)
+            idxs.append(index_of[key])
+            rows = max(rows, a.shape[0])
+        meta.append((tuple(idxs), rows))
+    return tuple(meta), tuple(unique)
 
 
 def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
