@@ -325,7 +325,8 @@ class CandidateCostSw(_CandidateCostBase):
                 P(None, axis), P(None, axis), P(None, axis), ex)
 
     def _cost_with(self, arrs, od_fit, seg_of_wav, i1_l, i2_l,
-                   hr_true, fd_surf_true, fu_toa_true, allred):
+                   hr_true, fd_surf_true, fu_toa_true, allred,
+                   want_components=False):
         (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
         with_up = self.surf_albedo > 0.0
         if self.use_pallas:
@@ -346,10 +347,23 @@ class CandidateCostSw(_CandidateCostBase):
         hr_err = hr_fit - hr_true
         dn_err = flux_dn[-1] - fd_surf_true
         up_err = flux_up[0] - fu_toa_true
-        return jnp.sqrt(
+        cost = jnp.sqrt(
             HR_WEIGHT * HR_WEIGHT
             * jnp.sum(layer_weight[:, None] * hr_err * hr_err, axis=0)
             + self.flux_weight * (dn_err * dn_err + up_err * up_err))
+        if not want_components:
+            return cost
+        # The diagnostic pieces calc_cost_function_sw.cpp:93-105 dumps
+        # under debug_partition
+        comps = dict(
+            flux_dn_surf_true=fd_surf_true, flux_dn_surf_fit=flux_dn[-1],
+            flux_up_toa_true=fu_toa_true, flux_up_toa_fit=flux_up[0],
+            hr_true=hr_true, hr_fit=hr_fit,
+            cf_hr=jnp.sqrt(HR_WEIGHT * HR_WEIGHT * jnp.sum(
+                layer_weight[:, None] * hr_err * hr_err, axis=0)),
+            cf_flux=jnp.sqrt(self.flux_weight
+                             * (dn_err * dn_err + up_err * up_err)))
+        return cost, comps
 
     def _kernel(self, arrs, i1, i2, seg_of_wav, axis=None):
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
@@ -400,6 +414,80 @@ class CandidateCostSw(_CandidateCostBase):
         return self._cost_with(arrs, od_fit, seg_of_wav, i1_l, i2_l,
                                sums[rows:rows + nlay], sums[rows + nlay],
                                sums[rows + nlay + 1], allred)
+
+    def _components_kernel(self, arrs, i1, i2, seg_of_wav):
+        """Per-interval diagnostic cost components (single-device path).
+
+        The quantities calc_cost_function_sw.cpp:93-105 dumps under
+        ``debug_partition``; for total-transmission the reference
+        evaluates LOW/HIGH (the scaled runs entering the cost) and MID
+        (the unscaled fit against the main truth, find_g_points.cpp:
+        346-375) — all three are returned."""
+        (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
+         extras) = arrs
+        nloc = metric.shape[-1]
+        nlay = hr.shape[0]
+        ident = lambda x: x
+        truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
+        if self.averaging_method == "total-transmission":
+            ex = extras
+            parts_tt, rows_tt, finish_tt = total_trans_fit_parts(
+                ssi, bg_od, metric)
+            sums_tt = interval_sum_fused(
+                parts_tt, nloc, i1, i2, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret)
+            od_fit = finish_tt(sums_tt, i1, i2)
+            sums = interval_sum_fused(
+                truth_of(ex["hr_low"], ex["flux_dn_surf_low"],
+                         ex["flux_up_toa_low"])
+                + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
+                           ex["flux_up_toa_high"])
+                + truth_of(hr, flux_dn_surf, flux_up_toa),
+                nloc, i1, i2, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret)
+            lo = sums[:nlay + 2]
+            hi = sums[nlay + 2:2 * nlay + 4]
+            mid = sums[2 * nlay + 4:]
+            out = {}
+            for tag, scale, t in (("LOW", ex["min_scaling"], lo),
+                                  ("HIGH", ex["max_scaling"], hi),
+                                  ("MID", 1.0, mid)):
+                _, out[tag] = self._cost_with(
+                    arrs, od_fit * scale, seg_of_wav, i1, i2,
+                    t[:nlay], t[nlay], t[nlay + 1], ident,
+                    want_components=True)
+            return out
+        parts, rows, finish = fit_parts_sw(self.averaging_method, ssi,
+                                           metric)
+        sums = interval_sum_fused(
+            parts + truth_of(hr, flux_dn_surf, flux_up_toa),
+            nloc, i1, i2, dtype=metric.dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
+        od_fit = finish(sums[:rows], i1, i2)
+        _, comps = self._cost_with(
+            arrs, od_fit, seg_of_wav, i1, i2, sums[rows:rows + nlay],
+            sums[rows + nlay], sums[rows + nlay + 1], ident,
+            want_components=True)
+        return {"MID": comps}
+
+    def components(self, i1: np.ndarray, i2: np.ndarray,
+                   seg_of_wav: np.ndarray):
+        """Per-interval diagnostic components for ``debug_partition``
+        (host numpy; evaluated single-device regardless of mesh — this is
+        a diagnostic path run once per band)."""
+        if not hasattr(self, "_components_jit"):
+            self._components_jit = jax.jit(self._components_kernel)
+        seg = np.minimum(seg_of_wav, len(i1) - 1).astype(np.int32)
+        if self._wav_pad:
+            seg = np.concatenate([seg, np.zeros(self._wav_pad, np.int32)])
+        out = self._components_jit(self._arrays(),
+                                   jnp.asarray(np.asarray(i1, np.int32)),
+                                   jnp.asarray(np.asarray(i2, np.int32)),
+                                   jnp.asarray(seg))
+        return jax.tree.map(np.asarray, jax.device_get(out))
 
 
 class CkdEquipartition(Equipartition):

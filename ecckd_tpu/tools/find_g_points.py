@@ -725,6 +725,39 @@ def find_g_points(cfg: Config, argv=()) -> str:
                 median_l.append(calc_median_sorting_variable(
                     sorting_variable, weight_for_median, ind1, ind2))
 
+            if debug_partition:
+                # Re-evaluate the final partition and dump per-g-point
+                # cost components to stderr (ref find_g_points.cpp:
+                # 1416-1423; only the SW cost function emits components,
+                # calc_cost_function_sw.cpp:93-105 — LW prints the band
+                # header alone, matching the reference).
+                print(f"debug_partition_{Gas}_band = {jband}",
+                      file=sys.stderr)
+                if do_sw:
+                    i1d = np.asarray([eq.lower_index(b)
+                                      for b in bounds[:-1]], np.int32)
+                    i2d = np.asarray([eq.upper_index(b)
+                                      for b in bounds[1:]], np.int32)
+                    i2d = np.maximum(i1d, i2d)
+                    comps = kernel.components(i1d, i2d,
+                                              eq._seg_of_wav(i1d))
+                    fmt = lambda v: np.array2string(
+                        np.atleast_1d(v), max_line_width=10 ** 9,
+                        separator=" ")
+                    for ig in range(len(i1d)):
+                        for tag, c in comps.items():
+                            if len(comps) > 1:
+                                print(f"  debug_partition_{tag}",
+                                      file=sys.stderr)
+                            for key in ("flux_dn_surf_true",
+                                        "flux_dn_surf_fit",
+                                        "flux_up_toa_true",
+                                        "flux_up_toa_fit", "hr_true",
+                                        "hr_fit", "cf_hr", "cf_flux"):
+                                print(f"    debug_partition.{key} = "
+                                      f"{fmt(np.asarray(c[key])[..., ig])}",
+                                      file=sys.stderr)
+
         gas_data = SingleGasData(
             molecule=gas_str,
             n_g_points=np.asarray(n_g_points_per_band, np.int64),

@@ -158,3 +158,29 @@ class TestSwRunCkd:
         assert np.all(np.diff(fdd, axis=1) <= 1e-9)
         assert f.exist("rayleigh_optical_depth")
         f.close()
+
+
+class TestDebugPartition:
+    def test_debug_partition_dumps_components(self, sw_chain, tmp_path,
+                                              capfd):
+        """debug_partition re-evaluates the final partition and dumps
+        per-g-point cost components to stderr (ref find_g_points.cpp:
+        1416-1423, calc_cost_function_sw.cpp:93-105), with LOW/HIGH/MID
+        sections for the total-transmission method."""
+        out = str(tmp_path / "gpoints_dbg.h5")
+        find_g_points(Config({
+            "output": out, "gases": "h2o", "ssi": sw_chain["ssi"],
+            "heating_rate_tolerance": "0.8",
+            "averaging_method": "total-transmission",
+            "debug_partition": "1",
+            "h2o.reordering_input": sw_chain["order"],
+            "h2o.input": sw_chain["h2o"],
+            "h2o.min_scaling": "0.5", "h2o.max_scaling": "2.0",
+        }), argv=["find_g_points"])
+        err = capfd.readouterr().err
+        assert "debug_partition_H2O_band = 0" in err
+        for tag in ("LOW", "HIGH", "MID"):
+            assert f"debug_partition_{tag}" in err
+        for key in ("flux_dn_surf_true", "flux_dn_surf_fit", "hr_fit",
+                    "cf_hr", "cf_flux"):
+            assert f"debug_partition.{key} = " in err
