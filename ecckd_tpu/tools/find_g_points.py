@@ -14,9 +14,11 @@ output schema.
 
 from __future__ import annotations
 
+import functools as _functools
 import sys
 from typing import Dict, List, Optional
 
+import jax as _jax
 import numpy as np
 
 from .. import logs
@@ -70,6 +72,23 @@ def _read_reordered_od(pb, irank, block_wav):
     return od
 
 
+@_functools.partial(_jax.jit, static_argnames=("with_bg",))
+def _lw_truth_block(temperature_hl, pressure_hl, wav, dwav, od, bg_od,
+                    with_bg):
+    """One wavenumber block of the LW truth fields, ONE compiled dispatch
+    (the eager per-op form paid ~50 ms relay latency per op on TPU).
+    All operands are jit arguments (no closure constants)."""
+    import jax.numpy as jnp
+    from ..ops import planck_function, rt_lw
+    from ..ops.heating_rate import heating_rate
+
+    pblk = planck_function(temperature_hl, wav, dwav)
+    tot = bg_od + od if with_bg else od
+    fd, fu = rt_lw(pblk, tot, jnp.ones(od.shape[1], od.dtype), pblk[-1])
+    hr = heating_rate(pressure_hl, fd, fu)
+    return pblk, hr, fd[-1], fu[0]
+
+
 def _lw_truth_blockwise(planck_function, rt_lw, hr_fn, temperature_hl,
                         pressure_hl, wavenumber_cm_1, d_wavenumber_cm_1,
                         optical_depth, bg_optical_depth, block_wav):
@@ -79,8 +98,9 @@ def _lw_truth_blockwise(planck_function, rt_lw, hr_fn, temperature_hl,
     (nlev+1, nwav) flux arrays never need to exist — only the Planck LUT
     and heating rate (needed per band by the candidate kernels) plus the
     boundary-flux rows are kept.  Results are bitwise identical to the
-    whole-spectrum evaluation.
+    whole-spectrum evaluation.  Each block runs as one jitted dispatch.
     """
+    del planck_function, rt_lw, hr_fn   # kept for signature stability
     nwav = optical_depth.shape[1]
     nlev1 = len(temperature_hl)
     nlay = len(pressure_hl) - 1
@@ -88,21 +108,46 @@ def _lw_truth_blockwise(planck_function, rt_lw, hr_fn, temperature_hl,
     hr = np.empty((nlay, nwav))
     flux_dn_surf = np.empty(nwav)
     flux_up_toa = np.empty(nwav)
+    with_bg = bg_optical_depth is not None
     for i0 in range(0, nwav, block_wav):
         sl = slice(i0, min(i0 + block_wav, nwav))
-        pblk = np.asarray(planck_function(
-            temperature_hl, wavenumber_cm_1[sl], d_wavenumber_cm_1[sl]))
-        planck_hl[:, sl] = pblk
-        if bg_optical_depth is None:
-            tot = optical_depth[:, sl]
-        else:
-            tot = bg_optical_depth[:, sl] + optical_depth[:, sl]
-        fd, fu = rt_lw(pblk, tot, np.ones(sl.stop - sl.start), pblk[-1])
-        fd, fu = np.asarray(fd), np.asarray(fu)
-        hr[:, sl] = np.asarray(hr_fn(pressure_hl, fd, fu))
-        flux_dn_surf[sl] = fd[-1]
-        flux_up_toa[sl] = fu[0]
+        pblk, hrb, fds, fut = _lw_truth_block(
+            temperature_hl, pressure_hl, wavenumber_cm_1[sl],
+            d_wavenumber_cm_1[sl], optical_depth[:, sl],
+            bg_optical_depth[:, sl] if with_bg else np.zeros((0, 0)),
+            with_bg)
+        planck_hl[:, sl] = np.asarray(pblk)
+        hr[:, sl] = np.asarray(hrb)
+        flux_dn_surf[sl] = np.asarray(fds)
+        flux_up_toa[sl] = np.asarray(fut)
     return planck_hl, hr, flux_dn_surf, flux_up_toa
+
+
+@_functools.partial(_jax.jit, static_argnames=("with_bg", "scalings",
+                                               "use_albedo"))
+def _sw_truth_block(cos_sza, pressure_hl, ssi, od, bg_od, albedo,
+                    with_bg, scalings, use_albedo):
+    """One wavenumber block of the SW truth fields (one dispatch; all
+    operands jit arguments).  With ``scalings`` = (min, max), also the
+    low/high scaled runs of the total-transmission method."""
+    from ..ops import rt_direct_sw, rt_norayleigh_sw
+    from ..ops.heating_rate import heating_rate
+
+    bg = bg_od if with_bg else 0.0
+    tot = bg + od
+    fd = rt_direct_sw(cos_sza, ssi, tot)
+    out = dict(hr=heating_rate(pressure_hl, fd), flux_dn_surf=fd[-1])
+    if scalings is not None:
+        for tag, scaling in (("low", scalings[0]), ("high", scalings[1])):
+            od_s = bg + scaling * od
+            if use_albedo:
+                fds, fus = rt_norayleigh_sw(cos_sza, ssi, od_s, albedo)
+                out[f"flux_up_toa_{tag}"] = fus[0]
+            else:
+                fds = rt_direct_sw(cos_sza, ssi, od_s)
+            out[f"hr_{tag}"] = heating_rate(pressure_hl, fds)
+            out[f"flux_dn_surf_{tag}"] = fds[-1]
+    return out
 
 
 def _sw_truth_blockwise(rt_direct_sw, rt_norayleigh_sw, hr_fn, cos_sza,
@@ -111,43 +156,44 @@ def _sw_truth_blockwise(rt_direct_sw, rt_norayleigh_sw, hr_fn, cos_sza,
                         block_wav):
     """SW truth fields in wavenumber blocks; with ``total_trans_scalings``
     = (min_scaling, max_scaling, use_albedo) also the low/high scaled runs
-    of the total-transmission method (find_g_points.cpp:906-960)."""
+    of the total-transmission method (find_g_points.cpp:906-960).
+    Each block runs as one jitted dispatch."""
+    del rt_direct_sw, rt_norayleigh_sw, hr_fn   # signature stability
     nwav = optical_depth.shape[1]
     nlay = len(pressure_hl) - 1
     hr = np.empty((nlay, nwav))
     flux_dn_surf = np.empty(nwav)
     extras = None
+    scalings = None
+    use_albedo = False
     if total_trans_scalings is not None:
+        min_scaling, max_scaling, use_albedo = total_trans_scalings
+        scalings = (float(min_scaling), float(max_scaling))
         extras = dict(
             flux_dn_surf_low=np.empty(nwav), flux_up_toa_low=np.zeros(nwav),
             flux_dn_surf_high=np.empty(nwav),
             flux_up_toa_high=np.zeros(nwav),
             hr_low=np.empty((nlay, nwav)), hr_high=np.empty((nlay, nwav)))
+    with_bg = bg_optical_depth is not None
+    empty = np.zeros((0, 0))
     for i0 in range(0, nwav, block_wav):
         sl = slice(i0, min(i0 + block_wav, nwav))
-        if bg_optical_depth is None:
-            bg = 0.0
-        else:
-            bg = bg_optical_depth[:, sl]
-        tot = bg + optical_depth[:, sl]
-        fd = np.asarray(rt_direct_sw(cos_sza, ssi_reorder[sl], tot))
-        hr[:, sl] = np.asarray(hr_fn(pressure_hl, fd))
-        flux_dn_surf[sl] = fd[-1]
-        if total_trans_scalings is None:
+        out = _sw_truth_block(
+            cos_sza, pressure_hl, ssi_reorder[sl], optical_depth[:, sl],
+            bg_optical_depth[:, sl] if with_bg else empty,
+            albedo[sl] if albedo is not None else np.zeros(0),
+            with_bg, scalings, bool(use_albedo))
+        hr[:, sl] = np.asarray(out["hr"])
+        flux_dn_surf[sl] = np.asarray(out["flux_dn_surf"])
+        if extras is None:
             continue
-        min_scaling, max_scaling, use_albedo = total_trans_scalings
-        for tag, scaling in (("low", min_scaling), ("high", max_scaling)):
-            od_s = bg + scaling * optical_depth[:, sl]
+        for tag in ("low", "high"):
+            extras[f"hr_{tag}"][:, sl] = np.asarray(out[f"hr_{tag}"])
+            extras[f"flux_dn_surf_{tag}"][sl] = np.asarray(
+                out[f"flux_dn_surf_{tag}"])
             if use_albedo:
-                fds, fus = rt_norayleigh_sw(cos_sza, ssi_reorder[sl], od_s,
-                                            albedo[sl])
-                fds, fus = np.asarray(fds), np.asarray(fus)
-                extras[f"flux_up_toa_{tag}"][sl] = fus[0]
-            else:
-                fds = np.asarray(rt_direct_sw(cos_sza, ssi_reorder[sl],
-                                              od_s))
-            extras[f"hr_{tag}"][:, sl] = np.asarray(hr_fn(pressure_hl, fds))
-            extras[f"flux_dn_surf_{tag}"][sl] = fds[-1]
+                extras[f"flux_up_toa_{tag}"][sl] = np.asarray(
+                    out[f"flux_up_toa_{tag}"])
     return hr, flux_dn_surf, extras
 
 
