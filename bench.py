@@ -650,6 +650,7 @@ def main():
                     break
                 throughput = run_bench(accel, NWAV, N_ITERS, np.float32)
             suspect = throughput > limit
+            break
 
     # Baseline preference: the native OpenMP C++ implementation of the
     # same computation (reference-style candidate parallelism, all host
