@@ -499,13 +499,25 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
         f"/tmp/ecckd_bench_spectrum_{nwav}x{nlay}.h5", nwav, nlay)
 
     kernel_s = [0.0, 0]
+    compile_s = [0.0, 0]
+    seen_buckets = set()
     orig_costs = cost_kernel._CandidateCostBase.costs
 
     def timed_costs(self, i1, i2, seg):
+        bucket = (id(self), cost_kernel._pad_to_bucket(len(i1)))
+        first = bucket not in seen_buckets
+        seen_buckets.add(bucket)
         t0 = time.perf_counter()
         out = orig_costs(self, i1, i2, seg)
-        kernel_s[0] += time.perf_counter() - t0
-        kernel_s[1] += 1
+        dt = time.perf_counter() - t0
+        # First call per (kernel, bucket) pays the XLA/relay compile;
+        # split it out so kernel_fraction reflects warm execution.
+        if first:
+            compile_s[0] += dt
+            compile_s[1] += 1
+        else:
+            kernel_s[0] += dt
+            kernel_s[1] += 1
         return out
 
     out = {"nwav": nwav, "nlay": nlay}
@@ -531,6 +543,8 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
         cost_kernel._CandidateCostBase.costs = orig_costs
     out["sweep_kernel_s"] = kernel_s[0]
     out["sweep_kernel_calls"] = kernel_s[1]
+    out["sweep_compile_s"] = compile_s[0]
+    out["sweep_compiles"] = compile_s[1]
     out["kernel_fraction"] = kernel_s[0] / out["find_g_points_s"]
 
     t0 = time.perf_counter()
