@@ -21,6 +21,16 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def get_shard_map():
+    """The shard_map entry point across jax versions (moved out of
+    jax.experimental in newer releases)."""
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
 def make_mesh(n_devices: Optional[int] = None,
               data_parallel: Optional[int] = None):
     """Create a (data, spectral) mesh over the available devices.

@@ -46,10 +46,8 @@ def _sharded_block_partials(mesh, ng: int, g_point, optical_depth, weight,
     combine on host (see streaming_sharded_average_od_to_gpoints).
     """
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:   # older jax
-        from jax.experimental.shard_map import shard_map
+    from .mesh import get_shard_map
+    shard_map = get_shard_map()
 
     od = jnp.asarray(optical_depth)
     w = jnp.broadcast_to(jnp.asarray(weight), od.shape)
@@ -173,10 +171,8 @@ def sharded_average_od_to_gpoints_multihost(mesh, ng: int, g_point_local,
             f"sharded averaging does not support {averaging_method!r}; "
             f"choose from {SUPPORTED_METHODS}")
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:   # older jax
-        from jax.experimental.shard_map import shard_map
+    from .mesh import get_shard_map
+    shard_map = get_shard_map()
 
     od_local = np.asarray(od_local)
     nz, nwav_local = od_local.shape
@@ -235,10 +231,8 @@ def streaming_sharded_average_od_to_gpoints_multihost(
     """
     from ..ops.streaming import _combine
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:   # older jax
-        from jax.experimental.shard_map import shard_map
+    from .mesh import get_shard_map
+    shard_map = get_shard_map()
 
     _check_method(averaging_method)
     nproc = jax.process_count()

@@ -40,14 +40,6 @@ from ..ops.segments import interval_sum_fused, part_of
 from .equipartition import Equipartition
 
 
-def _shard_map():
-    try:
-        from jax import shard_map
-    except ImportError:   # older jax
-        from jax.experimental.shard_map import shard_map
-    return shard_map
-
-
 def _pad_to_bucket(n: int) -> int:
     """Pad the candidate count to a small set of sizes to bound the number
     of XLA compilations (1, 2, 4, 8, ...)."""
@@ -147,7 +139,8 @@ class _CandidateCostBase:
             # are not auto-pvaried), so drop the replication checker; the
             # XLA path keeps it as a sharding-correctness guard.
             kwargs["check_vma"] = False
-        sm = _shard_map()(body, **kwargs)
+        from ..parallel.mesh import get_shard_map
+        sm = get_shard_map()(body, **kwargs)
         return jax.jit(sm)
 
     def costs(self, i1: np.ndarray, i2: np.ndarray,
