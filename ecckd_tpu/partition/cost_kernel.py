@@ -114,12 +114,45 @@ class _CandidateCostBase:
 
     def _shard_arrays(self):
         """Commit the bound arrays to their mesh shardings (one transfer at
-        construction instead of one per sweep)."""
+        construction instead of one per sweep).
+
+        Multi-controller (jax.distributed): every process holds the full
+        band (each host reads the same files) and contributes only the
+        contiguous wavenumber slice owned by its devices via
+        ``make_array_from_process_local_data`` — no cross-host data
+        movement; the mesh's device order is process-major so each
+        process's shards are a contiguous slice of the padded axis.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
         specs = self._array_specs(P, self.mesh_axis)
-        put = lambda a, s: (a if a is None or np.isscalar(a)
-                            else jax.device_put(a, NamedSharding(self.mesh,
-                                                                 s)))
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        axis = self.mesh_axis
+
+        if nproc > 1 and self.mesh.shape[axis] != jax.device_count():
+            raise ValueError(
+                "multi-controller sharded sweeps need the spectral mesh "
+                "axis to span ALL devices (data_parallel=1), so each "
+                "process's shards are a contiguous exclusive wavenumber "
+                f"slice; got spectral={self.mesh.shape[axis]} of "
+                f"{jax.device_count()} devices")
+
+        def put(a, s):
+            if a is None or np.isscalar(a):
+                return a
+            sh = NamedSharding(self.mesh, s)
+            if nproc == 1:
+                return jax.device_put(a, sh)
+            a = np.asarray(a)
+            if axis in jax.tree.leaves(tuple(s)):
+                n = a.shape[-1]
+                per = n // nproc
+                local = a[..., pid * per:(pid + 1) * per]
+            else:
+                local = a
+            return jax.make_array_from_process_local_data(sh, local,
+                                                          a.shape)
+
         return jax.tree.map(put, self._arrays(), specs,
                             is_leaf=lambda x: x is None)
 
@@ -158,6 +191,9 @@ class _CandidateCostBase:
             seg = np.concatenate([seg, np.zeros(self._wav_pad, np.int32)])
         out = self._jitted[nb](self._bound_arrays, jnp.asarray(i1p),
                                jnp.asarray(i2p), jnp.asarray(seg))
+        if jax.process_count() > 1:
+            # out_specs=P() -> replicated; every process reads its copy
+            out = jax.device_get(out.addressable_data(0))
         return np.asarray(out)[:n].astype(np.float64)
 
 

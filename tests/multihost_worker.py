@@ -78,6 +78,31 @@ def main():
     np.testing.assert_allclose(mn2, np.asarray(mn_ref), rtol=1e-12)
     np.testing.assert_allclose(mx2, np.asarray(mx_ref), rtol=1e-12)
 
+    # ---- multi-controller SHARDED CANDIDATE SWEEP (r4): each process
+    # contributes its contiguous wavenumber slice; costs must match the
+    # single-device dense evaluation computed from the shared seed
+    from ecckd_tpu.partition.cost_kernel import (CandidateCostLw,
+                                                 CkdEquipartition)
+    prng = np.random.default_rng(11)          # same seed on both processes
+    nlay_s, nwav_s, nseg_s = 7, 256, 5
+    p_hl = np.exp(np.linspace(np.log(100.0), np.log(1e5), nlay_s + 1))
+    od_s = np.outer(np.linspace(0.05, 0.4, nlay_s),
+                    np.sort(10.0 ** prng.uniform(-2, 1, nwav_s)))
+    planck_s = np.abs(prng.normal(0.3, 0.05, (nlay_s + 1, nwav_s))) + 0.05
+    lw_w = np.diff(np.sqrt(p_hl)); lw_w /= lw_w.sum()
+    args_s = ("transmission", 0.02, lw_w, p_hl, np.ones(nwav_s),
+              planck_s[-1], planck_s[-1] * 0.5, planck_s[0] * 0.8,
+              planck_s, 0.05 * od_s, -np.expm1(-1.66 * od_s),
+              prng.normal(0.0, 1e-5, (nlay_s, nwav_s)))
+    dense = CandidateCostLw(*args_s, use_pallas=False)
+    sharded = CandidateCostLw(*args_s, use_pallas=False, mesh=mesh)
+    eq = CkdEquipartition(dense)
+    edges = np.linspace(0, nwav_s, nseg_s + 1).astype(np.int32)
+    i1s, i2s = edges[:-1], edges[1:] - 1
+    seg_s = eq._seg_of_wav(i1s)
+    np.testing.assert_allclose(sharded.costs(i1s, i2s, seg_s),
+                               dense.costs(i1s, i2s, seg_s), rtol=1e-11)
+
     # ---- psum'd gradient over process-spanning data ----
     from jax.sharding import NamedSharding, PartitionSpec as P
     data_local = np.arange(pid * half, (pid + 1) * half, dtype=np.float64)
