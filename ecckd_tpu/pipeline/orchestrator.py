@@ -149,7 +149,8 @@ def build_pipeline(cfg: Config) -> Pipeline:
         if ssi:
             sub.set("ssi", ssi)
         for key in ("iprofile", "threshold_optical_depth", "wavenumber1",
-                    "wavenumber2", "precision", "jax_platform"):
+                    "wavenumber2", "precision", "jax_platform",
+                    "streaming_block_wav"):
             val = cfg.read_string(key, default=None)
             if val is not None:
                 sub.set(key, val)
@@ -171,7 +172,8 @@ def build_pipeline(cfg: Config) -> Pipeline:
         for key in ("averaging_method", "tolerance_tolerance",
                     "max_iterations", "flux_weight", "min_pressure",
                     "iprofile", "cloud", "max_no_rayleigh_wavenumber",
-                    "precision", "jax_platform", "debug_partition"):
+                    "precision", "jax_platform", "debug_partition",
+                    "use_pallas", "sharded", "streaming_block_wav"):
             val = cfg.read_string(key, default=None)
             if val is not None:
                 sub.set(key, val)
@@ -195,7 +197,8 @@ def build_pipeline(cfg: Config) -> Pipeline:
         sub.set("gases", " ".join(gases))
         for key in ("averaging_method", "temperature_stride",
                     "base_wavenumber_boundary", "precision",
-                    "jax_platform"):
+                    "jax_platform", "streaming", "sharded",
+                    "streaming_block_wav", "streaming_memory_mb"):
             val = cfg.read_string(key, default=None)
             if val is not None:
                 sub.set(key, val)
