@@ -408,7 +408,7 @@ class CandidateCostSw(_CandidateCostBase):
         truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
         if self.averaging_method == "total-transmission":
             ex = extras
-            parts_tt, rows_tt, finish_tt = total_trans_fit_parts(
+            parts_tt, _rows_tt, finish_tt = total_trans_fit_parts(
                 ssi, bg_od, metric)
             sums_tt = allred(interval_sum_fused(
                 parts_tt, nloc, i1_l, i2_l, dtype=metric.dtype,
@@ -460,7 +460,7 @@ class CandidateCostSw(_CandidateCostBase):
         truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
         if self.averaging_method == "total-transmission":
             ex = extras
-            parts_tt, rows_tt, finish_tt = total_trans_fit_parts(
+            parts_tt, _rows_tt, finish_tt = total_trans_fit_parts(
                 ssi, bg_od, metric)
             sums_tt = interval_sum_fused(
                 parts_tt, nloc, i1, i2, dtype=metric.dtype,
