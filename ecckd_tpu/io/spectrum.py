@@ -161,11 +161,81 @@ def _profile_meta(f: NcFile, file_name: str, iprof: int):
             molecule, ref_vmr, vmr_fl)
 
 
+class _ShardSourceFile:
+    """NcFile-compatible optical-depth view of a ``.spbin`` shard, so the
+    native double-buffered loader serves ProfileBlocks consumers
+    (find_g_points/create_lut/lw_spectra) directly — the disk-bound reads
+    the reference identifies as its wall-clock
+    (doc/ecckd_documentation.tex:225-228) ride pread + the prefetch pool
+    instead of h5py."""
+
+    def __init__(self, path: str):
+        from .shards import ShardReader
+        self.reader = ShardReader(path)
+
+    def read_slice(self, var, iprof, a, b):
+        if var != "optical_depth":
+            raise KeyError(var)
+        return self.reader.read_block(a, b - a)
+
+    def close(self):
+        self.reader.close()
+
+
+def _shard_profile_path(path: str, iprof: int) -> str:
+    """Per-profile shard naming: convert_spectrum_file writes one profile
+    per file as ``prefix_NNN.spbin``; profile i of ``prefix_000.spbin`` is
+    ``prefix_<i:03d>.spbin``."""
+    import re
+    if iprof == 0:
+        return path
+    m = re.match(r"^(.*_)(\d+)(\.spbin)$", path)
+    if not m:
+        raise ValueError(
+            f"{path} has no _NNN.spbin profile suffix; cannot select "
+            f"profile {iprof}")
+    return f"{m.group(1)}{iprof:0{len(m.group(2))}d}{m.group(3)}"
+
+
+def _shard_profile_count(path: str) -> int:
+    """Number of sibling per-profile shards of ``path``."""
+    import glob
+    import re
+    m = re.match(r"^(.*_)(\d+)(\.spbin)$", path)
+    if not m:
+        return 1
+    return len(glob.glob(f"{m.group(1)}{'[0-9]' * len(m.group(2))}"
+                         f"{m.group(3)}")) or 1
+
+
+def _shard_meta(path: str, iprof: int):
+    """Shard analogue of :func:`_profile_meta` (header carries molecule,
+    reference vmr and the concentration profile)."""
+    src = _ShardSourceFile(_shard_profile_path(path, iprof))
+    r = src.reader
+    h = r.header
+    vmr_fl = (np.asarray(h.get("vmr_fl"), np.float64)
+              if h.get("vmr_fl") is not None
+              else np.full(r.nlay, -1.0))
+    return src, (_shard_profile_count(path), r.pressure_hl,
+                 r.temperature_hl, r.wavenumber, r.d_wavenumber,
+                 h.get("molecule", "") or "",
+                 float(h.get("reference_surface_vmr", -1.0)), vmr_fl)
+
+
 def open_spectrum_profile(file_name: str, iprof: int) -> ProfileBlocks:
-    """Open one profile of spectral optical depth for block reads."""
-    f = NcFile(file_name)
+    """Open one profile of spectral optical depth for block reads.
+
+    ``.spbin`` shards (io.shards / tools.convert_spectra) are served by
+    the native double-buffered loader; anything else reads via NetCDF.
+    """
+    if file_name.endswith(".spbin"):
+        f, meta = _shard_meta(file_name, iprof)
+    else:
+        f = NcFile(file_name)
+        meta = _profile_meta(f, file_name, iprof)
     (ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber, molecule,
-     ref_vmr, vmr_fl) = _profile_meta(f, file_name, iprof)
+     ref_vmr, vmr_fl) = meta
     return ProfileBlocks([(f, iprof, None)], pressure_hl, temperature_hl,
                          wavenumber, d_wavenumber, molecule, ref_vmr,
                          vmr_fl, ncol)
@@ -222,9 +292,13 @@ def open_merged_spectrum_profile(config: Config, iprofile: int,
         scaling = scalings[ibg] if ibg < len(scalings) else -1.0
         conc = concs[ibg] if ibg < len(concs) else -1.0
         logs.log(f"  Reading {file_name}")
-        f = NcFile(file_name)
+        if file_name.endswith(".spbin"):
+            f, meta_f = _shard_meta(file_name, iprofile)
+        else:
+            f = NcFile(file_name)
+            meta_f = _profile_meta(f, file_name, iprofile)
         (ncol, pressure_hl, temperature_hl, wavenumber, d_wavenumber,
-         molecule, ref_vmr, vmr_fl) = _profile_meta(f, file_name, iprofile)
+         molecule, ref_vmr, vmr_fl) = meta_f
         if not molecule:
             raise ValueError(
                 'Found neither "constituent_id" nor "molecules" amongst the '

@@ -112,3 +112,55 @@ class TestShards:
                                    rtol=0.05)
         np.testing.assert_allclose(min_s, np.asarray(min_d), rtol=1e-9)
         np.testing.assert_allclose(max_s, np.asarray(max_d), rtol=1e-9)
+
+
+class TestShardInputsInTools:
+    def test_open_spectrum_profile_spbin(self, tmp_path):
+        """.spbin inputs ride the native loader through the same
+        ProfileBlocks interface as NetCDF spectra."""
+        from ecckd_tpu.io.spectrum import (open_spectrum_profile,
+                                           read_spectrum)
+        h5 = synth_spectrum_file(str(tmp_path / "h2o.h5"), nwav=1024,
+                                 ncol=2, seed=9)
+        paths = convert_spectrum_file(h5, str(tmp_path / "h2o"),
+                                      iprofiles=[0, 1], dtype=np.float64)
+        for iprof in (0, 1):
+            sp = read_spectrum(h5, iprof)
+            with open_spectrum_profile(paths[0], iprof) as pb:
+                assert pb.ncol == 2
+                assert pb.molecule == sp.molecule
+                np.testing.assert_allclose(pb.wavenumber, sp.wavenumber)
+                got = pb.materialize()
+                np.testing.assert_allclose(got.optical_depth,
+                                           sp.optical_depth, rtol=1e-12)
+
+    def test_find_g_points_accepts_spbin(self, tmp_path):
+        """The hot tool consumes converted shards with identical output
+        to the NetCDF path (f64 shards; reads via pread + prefetch)."""
+        from ecckd_tpu.config import Config
+        from ecckd_tpu.io import NcFile
+        from ecckd_tpu.tools.find_g_points import find_g_points
+        from ecckd_tpu.tools.reorder_spectrum import reorder_spectrum
+
+        h5 = synth_spectrum_file(str(tmp_path / "h2o.h5"), nwav=1024,
+                                 ncol=1, seed=3)
+        shard = convert_spectrum_file(h5, str(tmp_path / "h2o"),
+                                      iprofiles=[0], dtype=np.float64)[0]
+        order = str(tmp_path / "order.h5")
+        reorder_spectrum(Config({"input": h5, "output": order}), argv=["r"])
+
+        def run(tag, spec):
+            out = str(tmp_path / f"gp_{tag}.h5")
+            find_g_points(Config({
+                "output": out, "gases": "h2o",
+                "heating_rate_tolerance": "0.4",
+                "averaging_method": "transmission", "sharded": "0",
+                "h2o.reordering_input": order, "h2o.input": spec,
+            }), argv=["find_g_points"])
+            return out
+
+        a, b = NcFile(run("h5", h5)), NcFile(run("spbin", shard))
+        np.testing.assert_array_equal(a.read("g_point"), b.read("g_point"))
+        np.testing.assert_allclose(a.read("h2o_error"),
+                                   b.read("h2o_error"), rtol=1e-12)
+        a.close(); b.close()
