@@ -241,3 +241,21 @@ def test_find_g_points_tool_sharded_matches_dense_sw(tmp_path):
     np.testing.assert_allclose(fd.read("solar_irradiance"),
                                fs.read("solar_irradiance"), rtol=2e-2)
     fd.close(); fs.close()
+
+
+def test_tiny_band_smaller_than_mesh():
+    """Bands with fewer wavenumbers than shards (narrow SW bands) must
+    pad and still match dense."""
+    mesh = make_mesh(data_parallel=1)
+    p = build_problem(nwav=5, nseg=2, dtype=np.float64)
+    args = ("transmission", 0.02, p["layer_weight"], p["pressure_hl"],
+            p["surf_emissivity"], p["surf_planck"], p["flux_dn_surf"],
+            p["flux_up_toa"], p["planck_hl"], p["bg_od"], p["metric"],
+            p["hr"])   # 5 points over 8 shards
+    dense = CandidateCostLw(*args, use_pallas=False)
+    sharded = CandidateCostLw(*args, use_pallas=False, mesh=mesh)
+    i1 = np.array([0, 2], np.int32)
+    i2 = np.array([1, 4], np.int32)
+    seg = CkdEquipartition(dense)._seg_of_wav(i1)
+    np.testing.assert_allclose(sharded.costs(i1, i2, seg),
+                               dense.costs(i1, i2, seg), rtol=1e-11)
