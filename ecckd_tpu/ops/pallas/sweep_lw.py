@@ -52,6 +52,14 @@ TILE = int(_os.environ.get("ECCKD_SWEEP_TILE", 4096))
 FORM = _os.environ.get("ECCKD_SWEEP_FORM", "scan")
 
 
+# Reduction precision for the 0/1-matrix dots: "split" (default, two
+# bf16 MXU passes, ~2^-16 relative) or "fast" (ONE bf16 pass, ~2^-8
+# relative — halves the dominant matmul cost at a fidelity loss of
+# ~1e-3 on costs; an EXPERIMENTAL knob, untested against the partition
+# oracles, for perf exploration only).
+SPLIT_DOT_MODE = _os.environ.get("ECCKD_SPLIT_DOT", "split")
+
+
 def _split_dot(a, b01):
     """f32 matmul against an exact-0/1 matrix in TWO bf16 MXU passes.
 
@@ -72,9 +80,11 @@ def _split_dot(a, b01):
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=a.dtype)
     bf = jnp.bfloat16
+    b_bf = b01.astype(bf)
+    if SPLIT_DOT_MODE == "fast":
+        return jnp.dot(a.astype(bf), b_bf, preferred_element_type=a.dtype)
     a_hi = a.astype(bf)
     a_lo = (a - a_hi.astype(a.dtype)).astype(bf)
-    b_bf = b01.astype(bf)
     return (jnp.dot(a_hi, b_bf, preferred_element_type=a.dtype)
             + jnp.dot(a_lo, b_bf, preferred_element_type=a.dtype))
 
