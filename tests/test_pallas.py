@@ -225,3 +225,44 @@ class TestScanFormProductionShape:
         for a, b in zip(out_s, out_u):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-5)
+
+
+class TestIsumTileAndDedup:
+    def test_pallas_tile_param_honored(self):
+        """ADVICE r3: tile= applied only to the XLA path; the explicit
+        pallas_tile now threads through — different tiles must agree (and
+        exercise distinct padding) in interpret mode."""
+        from ecckd_tpu.ops.segments import interval_sum_fused, part_of
+        rng = np.random.default_rng(3)
+        nlay, nwav = 5, 1000
+        a2 = np.abs(rng.normal(1.0, 0.3, (nlay, nwav))).astype(np.float32)
+        v1 = rng.normal(0.0, 1.0, nwav).astype(np.float32)
+        i1 = np.array([0, 300, 700], np.int32)
+        i2 = np.array([299, 699, 999], np.int32)
+        parts = [part_of(a2, v1), part_of(v1)]
+        outs = [np.asarray(interval_sum_fused(
+            parts, nwav, i1, i2, dtype=a2.dtype, use_pallas=True,
+            pallas_interpret=True, pallas_tile=tile)) for tile in (128, 512)]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=1e-4)
+
+    def test_duplicate_operand_dedup_exact(self):
+        """An array appearing in several parts (staged once after dedup)
+        must reduce identically to the XLA form."""
+        from ecckd_tpu.ops.segments import (_pallas_groups,
+                                            interval_sum_fused, part_of)
+        rng = np.random.default_rng(4)
+        nlay, nwav = 4, 512
+        w = np.abs(rng.normal(1.0, 0.2, (nlay, nwav))).astype(np.float32)
+        m = np.abs(rng.normal(0.5, 0.1, (nlay, nwav))).astype(np.float32)
+        parts = [part_of(m, w), part_of(w), part_of(w, w)]
+        meta, unique = _pallas_groups(parts, nwav)
+        assert len(unique) == 2            # w staged once
+        assert meta == (((0, 1), nlay), ((1,), nlay), ((1, 1), nlay))
+        i1 = np.array([0, 256], np.int32)
+        i2 = np.array([255, 511], np.int32)
+        ref = interval_sum_fused(parts, nwav, i1, i2, dtype=w.dtype,
+                                 use_pallas=False)
+        got = interval_sum_fused(parts, nwav, i1, i2, dtype=w.dtype,
+                                 use_pallas=True, pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-5, atol=1e-4)
