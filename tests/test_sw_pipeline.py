@@ -184,3 +184,20 @@ class TestDebugPartition:
         for key in ("flux_dn_surf_true", "flux_dn_surf_fit", "hr_fit",
                     "cf_hr", "cf_flux"):
             assert f"debug_partition.{key} = " in err
+
+    def test_debug_partition_plain_method(self, sw_chain, tmp_path, capfd):
+        """Non-total-transmission methods dump a single (MID) component
+        set per g-point, without LOW/HIGH sections."""
+        out = str(tmp_path / "gpoints_dbg_lin.h5")
+        find_g_points(Config({
+            "output": out, "gases": "h2o", "ssi": sw_chain["ssi"],
+            "heating_rate_tolerance": "0.8",
+            "averaging_method": "transmission",
+            "debug_partition": "1",
+            "h2o.reordering_input": sw_chain["order"],
+            "h2o.input": sw_chain["h2o"],
+        }), argv=["find_g_points"])
+        err = capfd.readouterr().err
+        assert "debug_partition_H2O_band = 0" in err
+        assert "debug_partition_LOW" not in err
+        assert "debug_partition.cf_hr = " in err
