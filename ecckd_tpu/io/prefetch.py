@@ -36,20 +36,26 @@ def prefetch_iter(iterable: Iterable, depth: int = 2) -> Iterator:
 
     stop = threading.Event()
 
+    def put_stoppable(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned iteration
+        (ADVICE r4: an unconditional blocking put would leave the daemon
+        thread pinned forever holding up to ``depth`` spectral blocks)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             for item in iterable:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_stoppable(item):
                     return
-            q.put(_SENTINEL)
+            put_stoppable(_SENTINEL)
         except BaseException as e:   # noqa: BLE001 — re-raised by consumer
-            q.put(e)
+            put_stoppable(e)
 
     t = threading.Thread(target=produce, daemon=True,
                          name="ecckd-prefetch")

@@ -204,8 +204,12 @@ def _shard_profile_count(path: str) -> int:
     m = re.match(r"^(.*_)(\d+)(\.spbin)$", path)
     if not m:
         return 1
-    return len(glob.glob(f"{m.group(1)}{'[0-9]' * len(m.group(2))}"
-                         f"{m.group(3)}")) or 1
+    # glob.escape the literal prefix/suffix: metacharacters ([, ?, *) in
+    # directory or file names must match themselves, not act as patterns
+    # (ADVICE r4 — a silent no-match would truncate multi-profile loops).
+    return len(glob.glob(f"{glob.escape(m.group(1))}"
+                         f"{'[0-9]' * len(m.group(2))}"
+                         f"{glob.escape(m.group(3))}")) or 1
 
 
 def _shard_meta(path: str, iprof: int):

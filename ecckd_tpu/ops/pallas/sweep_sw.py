@@ -3,7 +3,11 @@
 SW counterpart of sweep_lw: direct-beam Beer-Lambert downwelling at
 sec(sza), optional no-Rayleigh upwelling at the fixed two-stream secant 2.0
 (Zdunkowski), tiled over wavenumber with the whole recurrence in VMEM and
-per-interval membership matmuls on the MXU.
+per-interval membership matmuls on the MXU.  Albedo is a per-wavenumber
+operand (scalar broadcast on entry): gas-level kernels span bands whose
+no-Rayleigh albedo differs (ref find_g_points.cpp:415-417 uses one scalar
+per band; per-wavenumber is the superset that evaluates identically within
+a band).
 """
 
 from __future__ import annotations
@@ -45,9 +49,9 @@ def _prod_scan(a, npad, reverse=False):
 
 
 def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
-                  albedo: float, with_up: bool, form: str,
+                  with_up: bool, form: str,
                   i1_ref, i2_ref, seg_ref, od_fit_ref, ssi_ref,
-                  bgod_ref, fd_ref, fu_ref):
+                  bgod_ref, albedo_ref, fd_ref, fu_ref):
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
@@ -90,7 +94,7 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
             # suffix product, scaled by the surface boundary
             pup = _prod_scan(jnp.concatenate([trans_up, ones_pad], 0),
                              npad, reverse=True)
-            boundary = albedo * dn[nlay]
+            boundary = albedo_ref[0, :] * dn[nlay]
             up = jnp.concatenate(
                 [boundary[None, :] * pup[:nlay], boundary[None, :]], axis=0)
             both = _split_dot(jnp.concatenate([dn, up], axis=0), member)
@@ -117,7 +121,7 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
             a = a * trans_up[up_lay]
             dn_rows.append(flux)
             a_rows[up_lay] = a
-        up = (albedo * flux)[None, :] * jnp.stack(a_rows)
+        up = (albedo_ref[0, :] * flux)[None, :] * jnp.stack(a_rows)
         both = _split_dot(jnp.concatenate([jnp.stack(dn_rows), up]), member)
         fd_ref[:, :] += both[: nlay + 1]
         fu_ref[:, :] += both[nlay + 1:]
@@ -130,15 +134,19 @@ def _sweep_kernel(nlay: int, nseg: int, tile: int, cos_sza: float,
 
 
 def rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
-                              cos_sza: float, albedo: float,
+                              cos_sza: float, albedo,
                               with_upwelling: bool = True,
                               interpret: bool = False, form=None):
     """Per-interval broadband SW fluxes (see the jitted impl below).
-    ``form`` (default: module FORM) is resolved HERE, outside the jit, so
-    the module default is not baked into a ``form=None`` cache entry."""
+    ``albedo`` is a scalar or (nwav,) vector; broadcast HERE (outside the
+    jit) so scalar and vector calls share one compiled kernel.  ``form``
+    (default: module FORM) is resolved HERE too, so the module default is
+    not baked into a ``form=None`` cache entry."""
+    albedo = jnp.broadcast_to(jnp.asarray(albedo, bg_od.dtype),
+                              (bg_od.shape[-1],))
     return _rt_sw_bb_intervals_pallas(
-        ssi, bg_od, od_fit, seg_of_wav, i1, i2, cos_sza=cos_sza,
-        albedo=albedo, with_upwelling=with_upwelling, interpret=interpret,
+        ssi, bg_od, od_fit, seg_of_wav, i1, i2, albedo, cos_sza=cos_sza,
+        with_upwelling=with_upwelling, interpret=interpret,
         form=FORM if form is None else form)
 
 
@@ -146,17 +154,16 @@ rt_sw_bb_intervals_pallas._clear_cache = (
     lambda: _rt_sw_bb_intervals_pallas.clear_cache())
 
 
-@functools.partial(jax.jit, static_argnames=("cos_sza", "albedo",
-                                             "with_upwelling", "interpret",
-                                             "form"))
+@functools.partial(jax.jit, static_argnames=("cos_sza", "with_upwelling",
+                                             "interpret", "form"))
 def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
-                               cos_sza: float, albedo: float,
+                               albedo, cos_sza: float,
                                with_upwelling: bool = True,
                                interpret: bool = False, form="scan"):
     """Per-interval broadband SW fluxes, fused Pallas kernel.
 
     Args: ssi: (nwav,); bg_od: (nlay, nwav); od_fit: (nlay, nseg);
-    seg_of_wav: (nwav,); i1, i2: (nseg,); cos_sza/albedo static scalars.
+    seg_of_wav: (nwav,); i1, i2: (nseg,); albedo: (nwav,); cos_sza static.
 
     Returns (flux_dn, flux_up), each (nlev+1, nseg); flux_up zeros without
     upwelling.
@@ -175,6 +182,7 @@ def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
     if pad:
         ssi = jnp.pad(ssi, (0, pad))
         bg_od = jnp.pad(bg_od, ((0, 0), (0, pad)))
+        albedo = jnp.pad(albedo, (0, pad))
         seg_of_wav = jnp.pad(seg_of_wav, (0, pad), constant_values=-1)
 
     if form is None:
@@ -182,8 +190,8 @@ def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
         # here would bake the import-time FORM into this cache entry.
         raise ValueError("form must be resolved by the public wrapper")
     kernel = functools.partial(_sweep_kernel, nlay, nseg, tile,
-                               float(cos_sza), float(albedo),
-                               bool(with_upwelling), str(form))
+                               float(cos_sza), bool(with_upwelling),
+                               str(form))
     whole = lambda i: (0, 0)
     fd, fu = pl.pallas_call(
         kernel,
@@ -197,6 +205,8 @@ def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nlay, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -213,5 +223,6 @@ def _rt_sw_bb_intervals_pallas(ssi, bg_od, od_fit, seg_of_wav, i1, i2,
         jnp.asarray(od_fit, dtype),
         ssi[None, :].astype(dtype),
         bg_od,
+        albedo[None, :].astype(dtype),
     )
     return fd, fu

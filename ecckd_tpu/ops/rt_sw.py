@@ -111,6 +111,10 @@ def rt_sw_bb_intervals(cos_sza, ssi, bg_od, grey_od_wav, albedo, i1, i2,
     n = bg_od.shape[-1]
     ssi = jnp.asarray(ssi)
     dtype = ssi.dtype
+    # Albedo may be a scalar (single band, ref behaviour) or a per-
+    # wavenumber vector (gas-level kernels spanning bands with different
+    # no-Rayleigh albedos, find_g_points.cpp:415-417 per band).
+    albedo = jnp.broadcast_to(jnp.asarray(albedo, dtype), (n,))
 
     def flux_part(start, size):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size,
@@ -124,7 +128,7 @@ def rt_sw_bb_intervals(cos_sza, ssi, bg_od, grey_od_wav, albedo, i1, i2,
         # cumulative transmittance from the surface upward; level nlay = 1
         a = jnp.exp(-SW_DIFFUSE_SECANT
                     * jnp.cumsum(od[::-1], axis=0))[::-1]
-        up = (albedo * dn[-1])[None, :] * jnp.concatenate(
+        up = (sl(albedo) * dn[-1])[None, :] * jnp.concatenate(
             [a, jnp.ones_like(top)], axis=0)
         return jnp.concatenate([dn_rows, up], axis=0)
 

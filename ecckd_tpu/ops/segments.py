@@ -262,6 +262,98 @@ def interval_sum_fused(parts: Sequence[Callable], n: int, i1, i2,
     return acc
 
 
+def _two_sum(a, b):
+    """Error-free f32/f64 addition (Knuth): s + err == a + b exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _df_add(x, y):
+    """Double-float addition of (hi, lo) pairs: ~2x-precision accumulate."""
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + (xl + yl)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+@jax.jit
+def _df_cumsum(v):
+    """Inclusive double-float prefix sums along the last axis.
+
+    Returns (hi, lo) with hi + lo ~= exact prefix sum to ~2x working
+    precision: each associative-scan combine is a compensated (two-sum)
+    double-float add, so the error after n elements is O(log n * eps^2)
+    relative to the prefix magnitude instead of O(n * eps)."""
+    return jax.lax.associative_scan(_df_add, (v, jnp.zeros_like(v)),
+                                    axis=-1)
+
+
+def build_prefix_sums(parts: Sequence[Callable], n: int, row_chunk: int = 64):
+    """Precompute double-float prefix sums of fused-reduction parts.
+
+    The repeated-sweep complement of :func:`interval_sum_fused`: when the
+    SAME operand rows are reduced over many different interval sets (the
+    g-point candidate search probes hundreds of bound sets per band), the
+    O(rows * n) reduction pass can be paid ONCE — each subsequent interval
+    sum is a pair of gathers into the prefix arrays
+    (:func:`interval_sum_from_prefix`), O(rows * nseg).
+
+    Precision: plain f32 prefix differences lose up to n*eps relative to
+    the interval sum; the double-float (hi, lo) representation keeps the
+    difference error at ~(C/S) * 2^-45 for f32 (C = prefix magnitude,
+    S = interval sum) — better than the ~2^-16 of the bf16 split-dot
+    membership matmuls it replaces.
+
+    Parts are materialized eagerly (device ops, NOT inside jit — their
+    closed-over operand arrays must never become XLA constants) and
+    scanned in ``row_chunk`` row blocks to bound transient memory.  The
+    scanned shape is bucketed (rows padded to a ``row_chunk`` multiple,
+    columns to a power of two) so the jitted scan compiles at most once
+    per bucket across bands — remote TPU compiles cost minutes and ignore
+    the persistent cache (CLAUDE.md).
+
+    Returns (hi, lo), each (total_rows, n + 1) with a leading zero column,
+    so the sum over inclusive [i1, i2] is C[i2 + 1] - C[i1].
+    """
+    npad = max(256, 1 << (n - 1).bit_length()) - n
+    his, los = [], []
+    for p in parts:
+        block = p(0, n)
+        rows = block.shape[0]
+        rpad = (-rows) % row_chunk
+        if npad or rpad:
+            # Zero column padding leaves the first n prefixes unchanged;
+            # zero rows are sliced back off below.
+            block = jnp.pad(block, ((0, rpad), (0, npad)))
+        for r0 in range(0, rows, row_chunk):
+            hi, lo = _df_cumsum(block[r0:r0 + row_chunk])
+            his.append(hi[:min(row_chunk, rows - r0), :n])
+            los.append(lo[:min(row_chunk, rows - r0), :n])
+    hi = jnp.concatenate(his, axis=0) if len(his) > 1 else his[0]
+    lo = jnp.concatenate(los, axis=0) if len(los) > 1 else los[0]
+    zero = jnp.zeros((hi.shape[0], 1), hi.dtype)
+    return (jnp.concatenate([zero, hi], axis=1),
+            jnp.concatenate([zero, lo], axis=1))
+
+
+def interval_sum_from_prefix(hi, lo, i1, i2):
+    """Interval sums over inclusive [i1, i2] from double-float prefix sums.
+
+    ``hi``/``lo`` come from :func:`build_prefix_sums`.  The hi difference
+    of nearby prefixes is exact (Sterbenz) or correctly rounded; adding the
+    lo difference restores the compensated tail."""
+    j1 = jnp.asarray(i1, jnp.int32)
+    j2 = jnp.asarray(i2, jnp.int32) + 1
+    h = jnp.take(hi, j2, axis=1) - jnp.take(hi, j1, axis=1)
+    l = jnp.take(lo, j2, axis=1) - jnp.take(lo, j1, axis=1)
+    return h + l
+
+
 def part_of(*arrays):
     """Fused-reduction part: the elementwise product of ``arrays`` (each
     (rows, n) or (n,); 1-D arrays broadcast across rows), sliced per tile.

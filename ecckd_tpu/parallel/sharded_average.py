@@ -236,6 +236,15 @@ def streaming_sharded_average_od_to_gpoints_multihost(
 
     _check_method(averaging_method)
     nproc = jax.process_count()
+    if nproc > 1 and mesh.shape[axis] != jax.device_count():
+        # Same guard as _CandidateCostBase._shard_arrays (ADVICE r4): with
+        # a data-parallel mesh the per-block padding below would mis-size
+        # nloc_dev and the P(None, axis) process-local assembly misaligns.
+        raise ValueError(
+            "multi-controller streamed+sharded averaging needs the "
+            "spectral mesh axis to span ALL devices (data_parallel=1); "
+            f"got {axis}={mesh.shape[axis]} of {jax.device_count()} "
+            "devices")
     gp_local = np.asarray(g_point_local, np.int32)
 
     def reduce_block(od_b, w_b, gp_b):

@@ -36,7 +36,8 @@ from ..ops.average import (fit_parts_lw, fit_parts_sw, total_trans_fit_parts)
 from ..ops.heating_rate import heating_rate
 from ..ops.rt_lw import rt_lw_bb_intervals
 from ..ops.rt_sw import rt_sw_bb_intervals
-from ..ops.segments import interval_sum_fused, part_of
+from ..ops.segments import (build_prefix_sums, interval_sum_from_prefix,
+                            interval_sum_fused, part_of)
 from .equipartition import Equipartition
 
 
@@ -48,14 +49,25 @@ def _pad_to_bucket(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def _pad_wav(a, pad: int):
+def _pad_wav(a, pad: int, host: bool = False):
     """Zero-pad the trailing (wavenumber) axis by ``pad`` entries.
 
     Padded ranks sit ABOVE every interval's global i2 (intervals live in
     [0, npoints)), so membership excludes them from every reduction; the
     flux recurrences on zero operands also produce exactly zero rows, so
     tile-level padding inside the kernels is harmless too.
+
+    ``host=True`` keeps the padded array in host numpy (mesh mode: the
+    sharded copies in ``_bound_arrays`` are the working set; a second
+    device-resident unsharded copy would double residency for the kernel's
+    lifetime — ADVICE r4).
     """
+    if host:
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        width = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return np.pad(a, width)
     if pad == 0:
         return jnp.asarray(a)
     a = jnp.asarray(a)
@@ -100,6 +112,61 @@ class _CandidateCostBase:
     mesh = None
     mesh_axis = "spectral"
     _wav_pad = 0
+    use_prefix = False
+    _prefix = None          # (hi, lo) double-float prefix sums, or None
+    _bg_index = None        # index of bg_od in _arrays() (bench perturbation)
+
+    def _resolve_prefix(self, use_prefix, mesh, dtype) -> bool:
+        """Whether to precompute per-band prefix sums and replace the
+        per-sweep interval-sum pass with gathers.
+
+        Default: on for f32 single-device TPU execution — the production
+        sweep path, where the fit+truth reduction pass costs ~40% of the
+        chained sweep throughput (BENCH_r04) and its operands never change
+        between the hundreds of probes of a band's partition search.  Off
+        for f64/CPU (the determinism-sensitive partition path keeps its
+        bit-stable membership reductions) and for mesh mode (the prefix
+        arrays would need a cross-shard carry; sharded sweeps keep the
+        psum'd partial-sum form).  Override with ECCKD_SWEEP_PREFIX=0/1 or
+        the ``use_prefix`` argument.
+        """
+        if mesh is not None:
+            return False
+        if use_prefix is not None:
+            return bool(use_prefix)
+        import os
+        env = os.environ.get("ECCKD_SWEEP_PREFIX")
+        if env is not None:
+            return env != "0"
+        from ..ops.segments import default_device_is_tpu
+        return default_device_is_tpu() and dtype == jnp.float32
+
+    def chained_bench_fn(self):
+        """Jitted ``fn(arrays, i1, i2, seg, n)`` running ``n`` sweep
+        evaluations inside ONE dispatch (fori_loop), serialized by a
+        genuine data dependency on the carry: bg_od is perturbed
+        ADDITIVELY by acc scaled so far down that the product underflows
+        to zero at runtime (values stay bit-identical), and the interval
+        bounds get a runtime-zero offset derived from the carry, so
+        neither the sweep nor the fit gathers can be constant-folded or
+        hoisted out of the loop.  Keeps host/relay dispatch latency out of
+        benchmark measurements (bench.py)."""
+        bg = self._bg_index
+
+        def chained(arrays, i1, i2, seg, n):
+            def body(_, acc):
+                arrs = list(arrays)
+                arrs[bg] = arrs[bg] + acc * jnp.asarray(1e-45,
+                                                        arrs[bg].dtype)
+                # Runtime-zero int offset: not foldable, value unchanged
+                iz = (acc * jnp.asarray(1e-45, acc.dtype)).astype(jnp.int32)
+                out = self._kernel(tuple(arrs), i1 + iz, i2 + iz, seg)
+                return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+
+            return jax.lax.fori_loop(0, n, body,
+                                     jnp.asarray(0.0, arrays[bg].dtype))
+
+        return jax.jit(chained)
 
     def _setup_mesh(self, mesh, mesh_axis: str, nwav: int) -> int:
         """Record the mesh and return the padded wavenumber count."""
@@ -206,11 +273,14 @@ class CandidateCostLw(_CandidateCostBase):
     (find_g_points.cpp:209-238).
     """
 
+    _bg_index = 7
+
     def __init__(self, averaging_method: str, flux_weight: float,
                  layer_weight, pressure_hl, surf_emissivity, surf_planck,
                  flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr,
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False,
+                 use_prefix: Optional[bool] = None,
                  mesh=None, mesh_axis: str = "spectral"):
         import jax
         self.averaging_method = averaging_method
@@ -225,26 +295,43 @@ class CandidateCostLw(_CandidateCostBase):
         self.npoints = int(np.shape(metric)[1])
         self._setup_mesh(mesh, mesh_axis, self.npoints)
         pad = self._wav_pad
+        host = mesh is not None
         self.layer_weight = jnp.asarray(layer_weight)
         self.pressure_hl = jnp.asarray(pressure_hl)
-        self.surf_emissivity = _pad_wav(surf_emissivity, pad)
-        self.surf_planck = _pad_wav(surf_planck, pad)
-        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad)
-        self.flux_up_toa = _pad_wav(flux_up_toa, pad)
-        self.planck_hl = _pad_wav(planck_hl, pad)
-        self.bg_od = _pad_wav(bg_od, pad)
-        self.metric = _pad_wav(metric, pad)
-        self.hr = _pad_wav(hr, pad)
+        self.surf_emissivity = _pad_wav(surf_emissivity, pad, host)
+        self.surf_planck = _pad_wav(surf_planck, pad, host)
+        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad, host)
+        self.flux_up_toa = _pad_wav(flux_up_toa, pad, host)
+        self.planck_hl = _pad_wav(planck_hl, pad, host)
+        self.bg_od = _pad_wav(bg_od, pad, host)
+        self.metric = _pad_wav(metric, pad, host)
+        self.hr = _pad_wav(hr, pad, host)
         self._jitted: Dict[int, object] = {}
+        self.use_prefix = self._resolve_prefix(use_prefix, mesh,
+                                               self.metric.dtype)
+        if self.use_prefix:
+            # Once-per-band double-float prefix sums over every fit and
+            # truth operand row: each sweep's interval-sum pass becomes a
+            # pair of gathers (ops.segments.interval_sum_from_prefix) —
+            # the O(rows * nwav) reduction is amortized over ALL probes of
+            # the band's partition search instead of paid per sweep.
+            parts, rows, finish = fit_parts_lw(self.averaging_method,
+                                               self.planck_hl, self.metric)
+            self._fit_rows = rows
+            self._fit_finish = finish
+            self._prefix = build_prefix_sums(
+                parts + [part_of(self.hr), part_of(self.flux_dn_surf),
+                         part_of(self.flux_up_toa)], self.npoints)
         self._bound_arrays = (self._shard_arrays() if mesh is not None
                               else self._arrays())
 
     def _arrays(self):
         """Array operands passed as jit ARGUMENTS (never closures, which XLA
         would constant-fold — prohibitively slow for big spectra)."""
-        return (self.layer_weight, self.pressure_hl, self.surf_emissivity,
+        base = (self.layer_weight, self.pressure_hl, self.surf_emissivity,
                 self.surf_planck, self.flux_dn_surf, self.flux_up_toa,
                 self.planck_hl, self.bg_od, self.metric, self.hr)
+        return base + self._prefix if self._prefix is not None else base
 
     def _array_specs(self, P, axis):
         return (P(), P(), P(axis), P(axis), P(axis), P(axis),
@@ -252,10 +339,8 @@ class CandidateCostLw(_CandidateCostBase):
 
     def _kernel(self, arrays, i1, i2, seg_of_wav, axis=None):
         (layer_weight, pressure_hl, surf_emissivity, surf_planck,
-         flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = arrays
-        # Fit operands and truth reductions share ONE pass over the
-        # spectrum: each fused-reduction tile reads its operand block once
-        # and reduces everything against the same membership matmul.
+         flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = \
+            arrays[:10]
         nlay = hr.shape[0]
         nloc = metric.shape[-1]
         if axis is None:
@@ -264,14 +349,25 @@ class CandidateCostLw(_CandidateCostBase):
         else:
             i1_l, i2_l = _local_bounds(i1, i2, axis, nloc)
             allred = lambda x: jax.lax.psum(x, axis)
-        parts, rows, finish = fit_parts_lw(self.averaging_method, planck_hl,
-                                           metric)
-        sums = allred(interval_sum_fused(
-            parts + [part_of(hr), part_of(flux_dn_surf),
-                     part_of(flux_up_toa)],
-            nloc, i1_l, i2_l, dtype=metric.dtype,
-            use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret))
+        if self.use_prefix:
+            # Fast path: every fit/truth interval sum is a gather into the
+            # once-per-band double-float prefix arrays — no spectral pass.
+            cum_hi, cum_lo = arrays[10], arrays[11]
+            sums = interval_sum_from_prefix(cum_hi, cum_lo, i1, i2)
+            rows, finish = self._fit_rows, self._fit_finish
+        else:
+            # Fit operands and truth reductions share ONE pass over the
+            # spectrum: each fused-reduction tile reads its operand block
+            # once and reduces everything against the same membership
+            # matmul.
+            parts, rows, finish = fit_parts_lw(self.averaging_method,
+                                               planck_hl, metric)
+            sums = allred(interval_sum_fused(
+                parts + [part_of(hr), part_of(flux_dn_surf),
+                         part_of(flux_up_toa)],
+                nloc, i1_l, i2_l, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret))
         # ``finish`` consumes globally reduced sums with GLOBAL bounds (the
         # logarithmic method derives interval lengths from i2 - i1 + 1).
         od_fit = finish(sums[:rows], i1, i2)
@@ -300,12 +396,15 @@ class CandidateCostSw(_CandidateCostBase):
     averages the cost of low- and high-scaled optical depths
     (find_g_points.cpp:340-394)."""
 
+    _bg_index = 5
+
     def __init__(self, averaging_method: str, flux_weight: float,
                  layer_weight, cos_sza, pressure_hl, ssi, surf_albedo,
                  flux_dn_surf, flux_up_toa, bg_od, metric, hr,
                  extras: Optional[dict] = None,
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False,
+                 use_prefix: Optional[bool] = None,
                  mesh=None, mesh_axis: str = "spectral"):
         import jax
         self.averaging_method = averaging_method
@@ -319,30 +418,70 @@ class CandidateCostSw(_CandidateCostBase):
         self.npoints = int(np.shape(metric)[1])
         self._setup_mesh(mesh, mesh_axis, self.npoints)
         pad = self._wav_pad
+        host = mesh is not None
         self.layer_weight = jnp.asarray(layer_weight)
         self.cos_sza = float(cos_sza)
         self.pressure_hl = jnp.asarray(pressure_hl)
-        self.ssi = _pad_wav(ssi, pad)
-        self.surf_albedo = float(surf_albedo)
-        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad)
-        self.flux_up_toa = _pad_wav(flux_up_toa, pad)
-        self.bg_od = _pad_wav(bg_od, pad)
-        self.metric = _pad_wav(metric, pad)
-        self.hr = _pad_wav(hr, pad)
+        self.ssi = _pad_wav(ssi, pad, host)
+        # Scalar (per-band, ref find_g_points.cpp:415-417) or per-
+        # wavenumber albedo (gas-level kernels spanning bands with
+        # different no-Rayleigh albedos); bound as a vector either way.
+        alb = np.broadcast_to(np.asarray(surf_albedo, np.asarray(ssi).dtype),
+                              (self.npoints,))
+        self.with_upwelling = bool(np.any(alb > 0.0))
+        self.surf_albedo = (float(surf_albedo)
+                            if np.isscalar(surf_albedo)
+                            or np.ndim(surf_albedo) == 0 else None)
+        self.surf_albedo_wav = _pad_wav(alb, pad, host)
+        self.flux_dn_surf = _pad_wav(flux_dn_surf, pad, host)
+        self.flux_up_toa = _pad_wav(flux_up_toa, pad, host)
+        self.bg_od = _pad_wav(bg_od, pad, host)
+        self.metric = _pad_wav(metric, pad, host)
+        self.hr = _pad_wav(hr, pad, host)
         self.extras = None
         if extras is not None:
-            self.extras = {k: (_pad_wav(v, pad) if not np.isscalar(v) else
-                               float(v)) for k, v in extras.items()}
+            self.extras = {k: (_pad_wav(v, pad, host)
+                               if not np.isscalar(v) else float(v))
+                           for k, v in extras.items()}
         self._jitted: Dict[int, object] = {}
+        self.use_prefix = self._resolve_prefix(use_prefix, mesh,
+                                               jnp.asarray(metric).dtype)
+        if self.use_prefix:
+            # See CandidateCostLw: per-band prefix sums over fit + truth
+            # operand rows (for total-transmission, the low/high-scaled
+            # truth extras are included so both scaled costs' reductions
+            # are gathers too — ref find_g_points.cpp:340-394).
+            truth_of = lambda h, fd, fu: [part_of(h), part_of(fd),
+                                          part_of(fu)]
+            if self.averaging_method == "total-transmission":
+                ex = self.extras
+                parts, rows, finish = total_trans_fit_parts(
+                    self.ssi, self.bg_od, self.metric)
+                all_parts = (parts
+                             + truth_of(ex["hr_low"],
+                                        ex["flux_dn_surf_low"],
+                                        ex["flux_up_toa_low"])
+                             + truth_of(ex["hr_high"],
+                                        ex["flux_dn_surf_high"],
+                                        ex["flux_up_toa_high"]))
+            else:
+                parts, rows, finish = fit_parts_sw(
+                    self.averaging_method, self.ssi, self.metric)
+                all_parts = parts + truth_of(self.hr, self.flux_dn_surf,
+                                             self.flux_up_toa)
+            self._fit_rows = rows
+            self._fit_finish = finish
+            self._prefix = build_prefix_sums(all_parts, self.npoints)
         self._bound_arrays = (self._shard_arrays() if mesh is not None
                               else self._arrays())
 
     def _arrays(self):
         """Array operands passed as jit ARGUMENTS, not closures (closures
         get constant-folded by XLA at compile time)."""
-        return (self.layer_weight, self.pressure_hl, self.ssi,
+        base = (self.layer_weight, self.pressure_hl, self.ssi,
                 self.flux_dn_surf, self.flux_up_toa, self.bg_od,
-                self.metric, self.hr, self.extras)
+                self.metric, self.hr, self.surf_albedo_wav, self.extras)
+        return base + self._prefix if self._prefix is not None else base
 
     def _array_specs(self, P, axis):
         ex = None
@@ -351,24 +490,25 @@ class CandidateCostSw(_CandidateCostBase):
                       else P(axis) if v.ndim == 1 else P(None, axis))
                   for k, v in self.extras.items()}
         return (P(), P(), P(axis), P(axis), P(axis),
-                P(None, axis), P(None, axis), P(None, axis), ex)
+                P(None, axis), P(None, axis), P(None, axis), P(axis), ex)
 
     def _cost_with(self, arrs, od_fit, seg_of_wav, i1_l, i2_l,
                    hr_true, fd_surf_true, fu_toa_true, allred,
                    want_components=False):
-        (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _, _) = arrs
-        with_up = self.surf_albedo > 0.0
+        (layer_weight, pressure_hl, ssi, _, _, bg_od, _, _,
+         albedo) = arrs[:9]
+        with_up = self.with_upwelling
         if self.use_pallas:
             from ..ops.pallas.sweep_sw import rt_sw_bb_intervals_pallas
             flux_dn, flux_up = rt_sw_bb_intervals_pallas(
                 ssi, bg_od, od_fit, seg_of_wav, i1_l, i2_l,
-                cos_sza=self.cos_sza, albedo=self.surf_albedo,
+                cos_sza=self.cos_sza, albedo=albedo,
                 with_upwelling=with_up, interpret=self.pallas_interpret)
         else:
             grey = jnp.take(od_fit, seg_of_wav, axis=1)
             flux_dn, flux_up = rt_sw_bb_intervals(
                 self.cos_sza, ssi, bg_od, grey,
-                self.surf_albedo, i1_l, i2_l, with_upwelling=with_up)
+                albedo, i1_l, i2_l, with_upwelling=with_up)
         flux_dn = allred(flux_dn)
         flux_up = allred(flux_up)
         # SW heating rate uses downwelling only (calc_cost_function_sw.cpp:93)
@@ -396,7 +536,7 @@ class CandidateCostSw(_CandidateCostBase):
 
     def _kernel(self, arrs, i1, i2, seg_of_wav, axis=None):
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
-         extras) = arrs
+         _albedo, extras) = arrs[:10]
         nloc = metric.shape[-1]
         nlay = hr.shape[0]
         if axis is None:
@@ -408,22 +548,30 @@ class CandidateCostSw(_CandidateCostBase):
         truth_of = lambda h, fd, fu: [part_of(h), part_of(fd), part_of(fu)]
         if self.averaging_method == "total-transmission":
             ex = extras
-            parts_tt, _rows_tt, finish_tt = total_trans_fit_parts(
-                ssi, bg_od, metric)
-            sums_tt = allred(interval_sum_fused(
-                parts_tt, nloc, i1_l, i2_l, dtype=metric.dtype,
-                use_pallas=self.use_pallas,
-                pallas_interpret=self.pallas_interpret))
+            if self.use_prefix:
+                all_sums = interval_sum_from_prefix(arrs[10], arrs[11],
+                                                    i1, i2)
+                rows = self._fit_rows
+                sums_tt = all_sums[:rows]
+                sums = all_sums[rows:]
+                finish_tt = self._fit_finish
+            else:
+                parts_tt, _rows_tt, finish_tt = total_trans_fit_parts(
+                    ssi, bg_od, metric)
+                sums_tt = allred(interval_sum_fused(
+                    parts_tt, nloc, i1_l, i2_l, dtype=metric.dtype,
+                    use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret))
+                # Both scaled costs' truth reductions share one pass
+                sums = allred(interval_sum_fused(
+                    truth_of(ex["hr_low"], ex["flux_dn_surf_low"],
+                             ex["flux_up_toa_low"])
+                    + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
+                               ex["flux_up_toa_high"]),
+                    nloc, i1_l, i2_l, dtype=metric.dtype,
+                    use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret))
             od_fit = finish_tt(sums_tt, i1, i2)
-            # Both scaled costs' truth reductions share one spectral pass
-            sums = allred(interval_sum_fused(
-                truth_of(ex["hr_low"], ex["flux_dn_surf_low"],
-                         ex["flux_up_toa_low"])
-                + truth_of(ex["hr_high"], ex["flux_dn_surf_high"],
-                           ex["flux_up_toa_high"]),
-                nloc, i1_l, i2_l, dtype=metric.dtype,
-                use_pallas=self.use_pallas,
-                pallas_interpret=self.pallas_interpret))
             lo, hi = sums[:nlay + 2], sums[nlay + 2:]
             cf_low = self._cost_with(
                 arrs, od_fit * ex["min_scaling"], seg_of_wav, i1_l, i2_l,
@@ -432,13 +580,17 @@ class CandidateCostSw(_CandidateCostBase):
                 arrs, od_fit * ex["max_scaling"], seg_of_wav, i1_l, i2_l,
                 hi[:nlay], hi[nlay], hi[nlay + 1], allred)
             return 0.5 * (cf_low + cf_high)
-        parts, rows, finish = fit_parts_sw(self.averaging_method, ssi,
-                                           metric)
-        sums = allred(interval_sum_fused(
-            parts + truth_of(hr, flux_dn_surf, flux_up_toa),
-            nloc, i1_l, i2_l, dtype=metric.dtype,
-            use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret))
+        if self.use_prefix:
+            sums = interval_sum_from_prefix(arrs[10], arrs[11], i1, i2)
+            rows, finish = self._fit_rows, self._fit_finish
+        else:
+            parts, rows, finish = fit_parts_sw(self.averaging_method, ssi,
+                                               metric)
+            sums = allred(interval_sum_fused(
+                parts + truth_of(hr, flux_dn_surf, flux_up_toa),
+                nloc, i1_l, i2_l, dtype=metric.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret))
         od_fit = finish(sums[:rows], i1, i2)
         return self._cost_with(arrs, od_fit, seg_of_wav, i1_l, i2_l,
                                sums[rows:rows + nlay], sums[rows + nlay],
@@ -453,7 +605,7 @@ class CandidateCostSw(_CandidateCostBase):
         (the unscaled fit against the main truth, find_g_points.cpp:
         346-375) — all three are returned."""
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
-         extras) = arrs
+         _albedo, extras) = arrs[:10]
         nloc = metric.shape[-1]
         nlay = hr.shape[0]
         ident = lambda x: x

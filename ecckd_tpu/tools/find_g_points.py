@@ -302,9 +302,14 @@ def find_g_points(cfg: Config, argv=()) -> str:
     mesh = None
     if sharded_cfg not in ("0", "no", "false"):
         import jax
+        from ..ops.segments import default_device_is_tpu
+        # default_device_is_tpu (not default_backend): under
+        # ``jax.default_device(cpu)`` on a TPU-attached host the sweeps run
+        # on CPU, where auto-sharding must not engage either (ADVICE r4 —
+        # the same pinning rule as the use_pallas default).
         if jax.device_count() > 1 and (
                 sharded_cfg in ("1", "yes", "true")
-                or jax.default_backend() == "tpu"):
+                or default_device_is_tpu()):
             from ..parallel import make_mesh
             mesh = make_mesh(data_parallel=1)
             logs.log(f"Sharding candidate sweeps over "
@@ -569,41 +574,53 @@ def find_g_points(cfg: Config, argv=()) -> str:
         rank1_l, rank2_l, band_l = [], [], []
         error_l, median_l = [], []
 
-        for jband in range(nband):
-            logs.log(f"Band {jband}")
+        def _band_range(jband):
             band_index = np.nonzero(iband == jband)[0]
-            ibegin, iend = int(band_index[0]), int(band_index[-1])
-            sl = slice(ibegin, iend + 1)
+            return int(band_index[0]), int(band_index[-1])
 
-            bg_band = (np.zeros_like(metric[:, sl])
-                       if bg_optical_depth is None
-                       else bg_optical_depth[:, sl])
+        def _make_kernel(sl, albedo_val):
+            """Candidate-cost kernel over ``sl`` of the rank axis: one
+            band (sequential mode, ref find_g_points.cpp:1152) or the
+            whole gas (band_parallel gas-level kernel — bands are
+            disjoint rank ranges, so band probes are global intervals)."""
+            if bg_optical_depth is None:
+                # Lazy zeros: a zero-stride broadcast view, materialized
+                # on device only (a full host array would be ~GBs at
+                # CKDMIP scale for the gas-level kernel).
+                bg_band = np.broadcast_to(
+                    np.zeros(1, dtype=np.asarray(metric).dtype),
+                    metric[:, sl].shape)
+            else:
+                bg_band = bg_optical_depth[:, sl]
             if not do_sw:
-                kernel = CandidateCostLw(
+                return CandidateCostLw(
                     averaging_method, flux_weight, layer_weight, pressure_hl,
                     surf_emissivity[sl], surf_planck[sl], flux_dn_surf[sl],
                     flux_up_toa[sl], planck_hl[:, sl],
                     bg_band, metric[:, sl], hr[:, sl],
                     use_pallas=use_pallas, mesh=mesh)
-            else:
-                band_extras = None
-                if extras is not None:
-                    band_extras = dict(
-                        flux_dn_surf_low=extras["flux_dn_surf_low"][sl],
-                        flux_up_toa_low=extras["flux_up_toa_low"][sl],
-                        flux_dn_surf_high=extras["flux_dn_surf_high"][sl],
-                        flux_up_toa_high=extras["flux_up_toa_high"][sl],
-                        min_scaling=min_scaling, max_scaling=max_scaling,
-                        hr_low=extras["hr_low"][:, sl],
-                        hr_high=extras["hr_high"][:, sl])
-                kernel = CandidateCostSw(
-                    averaging_method, flux_weight, layer_weight, cos_sza,
-                    pressure_hl, ssi_reorder[sl], band_albedo[jband],
-                    flux_dn_surf[sl], flux_up_toa[sl],
-                    bg_band, metric[:, sl], hr[:, sl],
-                    extras=band_extras, use_pallas=use_pallas, mesh=mesh)
+            band_extras = None
+            if extras is not None:
+                band_extras = dict(
+                    flux_dn_surf_low=extras["flux_dn_surf_low"][sl],
+                    flux_up_toa_low=extras["flux_up_toa_low"][sl],
+                    flux_dn_surf_high=extras["flux_dn_surf_high"][sl],
+                    flux_up_toa_high=extras["flux_up_toa_high"][sl],
+                    min_scaling=min_scaling, max_scaling=max_scaling,
+                    hr_low=extras["hr_low"][:, sl],
+                    hr_high=extras["hr_high"][:, sl])
+            return CandidateCostSw(
+                averaging_method, flux_weight, layer_weight, cos_sza,
+                pressure_hl, ssi_reorder[sl], albedo_val,
+                flux_dn_surf[sl], flux_up_toa[sl],
+                bg_band, metric[:, sl], hr[:, sl],
+                extras=band_extras, use_pallas=use_pallas, mesh=mesh)
 
-            eq = CkdEquipartition(kernel)
+        def _search_band(jband, kernel_like):
+            """One band's equipartition search (thread-safe: only its own
+            eq and kernel view are touched).  Returns
+            (istatus, bounds, error, ng, eq)."""
+            eq = CkdEquipartition(kernel_like)
             eq.set_partition_max_iterations(max_iterations)
             eq.set_partition_tolerance(tolerance_tolerance)
             eq.set_verbose(False)
@@ -667,6 +684,99 @@ def find_g_points(cfg: Config, argv=()) -> str:
                     error = np.zeros(ng)
                     eq.invalidate()
                     istatus = eq.equipartition_n(bounds, error)
+
+            return istatus, bounds, error, ng, eq
+
+        # ---- Cross-band probe batching (band_parallel) ----
+        # Bands are independent; the reference loops them serially only
+        # because its C++ is serial (find_g_points.cpp:1152).  In
+        # "parallel" mode each band's search runs on a thread against ONE
+        # gas-level kernel and every device dispatch carries ALL bands'
+        # pending probes (partition.band_parallel), dividing the serial
+        # host->device decision latency by ~nband.  "serial" runs the same
+        # gas-level kernel sequentially (bit-identical validation mode);
+        # "auto" engages parallel on TPU execution and keeps the
+        # per-band CPU path bit-stable.  debug_partition needs band-local
+        # kernels, so it forces the sequential per-band path.
+        bp_cfg = str(cfg.read_string("band_parallel",
+                                     default="auto")).lower()
+        if bp_cfg in ("1", "yes", "true", "parallel"):
+            band_mode = "parallel"
+        elif bp_cfg in ("serial", "serial_gas"):
+            band_mode = "serial_gas"
+        elif bp_cfg in ("0", "no", "false"):
+            band_mode = "off"
+        else:
+            from ..ops.segments import default_device_is_tpu
+            band_mode = "parallel" if default_device_is_tpu() else "off"
+        if nband <= 1 or debug_partition:
+            band_mode = "off"
+
+        band_results = {}
+        gas_kernel = None
+        if band_mode != "off":
+            from ..partition.band_parallel import (BandKernelView,
+                                                   ProbeScheduler)
+            gas_albedo = None
+            if do_sw:
+                gas_albedo = np.zeros(nwav)
+                for jband in range(nband):
+                    b1, b2 = _band_range(jband)
+                    gas_albedo[b1:b2 + 1] = band_albedo[jband]
+            gas_kernel = _make_kernel(slice(0, nwav), gas_albedo)
+            offsets = [_band_range(j) for j in range(nband)]
+            if band_mode == "parallel":
+                import threading
+                logs.log(f"Batching equipartition probes across {nband} "
+                         "bands (band_parallel)")
+                sched = ProbeScheduler(gas_kernel)
+                Thread = threading.Thread
+
+                def _run(jband):
+                    b1, b2 = offsets[jband]
+                    view = BandKernelView(gas_kernel, b1, b2 - b1 + 1,
+                                          sched, jband)
+                    try:
+                        band_results[jband] = _search_band(jband, view)
+                    except BaseException as e:   # noqa: BLE001
+                        band_results[jband] = e
+                    finally:
+                        sched.done()
+
+                # Register every thread BEFORE starting any: an early
+                # starter must not trigger a dispatch at active=1.
+                for _ in range(nband):
+                    sched.register()
+                threads = [Thread(target=_run, args=(j,),
+                                  name=f"ecckd-band{j}")
+                           for j in range(nband)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                for j in range(nband):
+                    if isinstance(band_results.get(j), BaseException):
+                        raise band_results[j]
+                logs.log(f"  band_parallel: {sched.dispatches} merged "
+                         "dispatches")
+            else:
+                for jband in range(nband):
+                    b1, b2 = offsets[jband]
+                    view = BandKernelView(gas_kernel, b1, b2 - b1 + 1)
+                    band_results[jband] = _search_band(jband, view)
+
+        for jband in range(nband):
+            logs.log(f"Band {jband}")
+            ibegin, iend = _band_range(jband)
+            sl = slice(ibegin, iend + 1)
+            if jband in band_results:
+                istatus, bounds, error, ng, eq = band_results[jband]
+                kernel = gas_kernel
+            else:
+                kernel = _make_kernel(sl, band_albedo[jband] if do_sw
+                                      else None)
+                istatus, bounds, error, ng, eq = _search_band(jband,
+                                                              kernel)
 
             logs.log(f"  Equipartition status: {istatus.describe()}")
             logs.log(f"      computational cost = {eq.total_comp_cost:.2f}")
