@@ -54,9 +54,13 @@ FORM = _os.environ.get("ECCKD_SWEEP_FORM", "scan")
 
 # Reduction precision for the 0/1-matrix dots: "split" (default, two
 # bf16 MXU passes, ~2^-16 relative) or "fast" (ONE bf16 pass, ~2^-8
-# relative — halves the dominant matmul cost at a fidelity loss of
-# ~1e-3 on costs; an EXPERIMENTAL knob, untested against the partition
-# oracles, for perf exploration only).
+# relative — halves the matmul cost of the flux reductions).  Validated
+# on the partition rigs (tests/test_split_dot_fast.py): with the r5
+# prefix fit path the fit/truth sums are unaffected (double-float
+# gathers), only the flux reduction feels the bf16 truncation, and
+# refinement bounds moved <=2 ranks on the synthetic rig.  Bound
+# movement is still nonzero, so "split" stays the default for
+# reference-parity runs; "fast" is a measured speed/fidelity trade.
 SPLIT_DOT_MODE = _os.environ.get("ECCKD_SPLIT_DOT", "split")
 
 

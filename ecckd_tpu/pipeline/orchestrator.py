@@ -173,7 +173,8 @@ def build_pipeline(cfg: Config) -> Pipeline:
                     "max_iterations", "flux_weight", "min_pressure",
                     "iprofile", "cloud", "max_no_rayleigh_wavenumber",
                     "precision", "jax_platform", "debug_partition",
-                    "use_pallas", "sharded", "streaming_block_wav"):
+                    "use_pallas", "sharded", "band_parallel",
+                    "streaming_block_wav"):
             val = cfg.read_string(key, default=None)
             if val is not None:
                 sub.set(key, val)
