@@ -413,10 +413,35 @@ def run_optimize_bench(device, n_iters):
     return dt / n_iters
 
 
-def build_bench_spectrum(path, nwav, nlay, ncol=1, seed=0):
-    """CKDMIP-shaped synthetic LW absorption spectrum file on disk
+def build_bench_ssi(path, spectrum_path):
+    """Solar spectral irradiance file matching a spectrum's wavenumbers
+    (SW pipeline bench input; read_solar_spectrum.cpp layout)."""
+    from ecckd_tpu.io import NcFile, NcWriter
+
+    if os.path.exists(path):
+        return path
+    f = NcFile(spectrum_path)
+    wavenumber = np.asarray(f.read("wavenumber"))
+    f.close()
+    ssi = 20.0 * np.exp(-((wavenumber - 20000.0) / 15000.0) ** 2) + 0.5
+    ssi = ssi * (1361.0 / ssi.sum())
+    with NcWriter(path) as w:
+        w.define_dimension("wavenumber", len(wavenumber))
+        w.define_variable("wavenumber", "double", "wavenumber")
+        w.define_variable("solar_spectral_irradiance", "double",
+                          "wavenumber")
+        w.define_variable("total_solar_irradiance", "double")
+        w.write(wavenumber, "wavenumber")
+        w.write(ssi, "solar_spectral_irradiance")
+        w.write(float(ssi.sum()), "total_solar_irradiance")
+    return path
+
+
+def build_bench_spectrum(path, nwav, nlay, ncol=1, seed=0, is_sw=False):
+    """CKDMIP-shaped synthetic absorption spectrum file on disk
     (read_spectrum.cpp layout; ~200 MB f32 per column at 2^20 wavenumbers,
-    50 layers — the shape of one CKDMIP Idealized member)."""
+    50 layers — the shape of one CKDMIP Idealized member).  ``is_sw``
+    covers the solar wavenumber range instead of the thermal one."""
     from ecckd_tpu.io import NcWriter
 
     if os.path.exists(path):
@@ -425,12 +450,14 @@ def build_bench_spectrum(path, nwav, nlay, ncol=1, seed=0):
     pressure_hl = np.exp(np.linspace(np.log(100.0), np.log(1.013e5),
                                      nlay + 1))
     temperature_hl = np.linspace(210.0, 284.0, nlay + 1)
-    wavenumber = np.linspace(1.0, 2500.0, nwav)
+    wavenumber = (np.linspace(250.0, 50000.0, nwav) if is_sw
+                  else np.linspace(1.0, 2500.0, nwav))
     d_wavenumber = np.gradient(wavenumber)
     k = np.full(nwav, 1e-4)
-    for c0, s, wd in zip(rng.uniform(1.0, 2500.0, 120),
+    span = wavenumber[-1] - wavenumber[0]
+    for c0, s, wd in zip(rng.uniform(wavenumber[0], wavenumber[-1], 120),
                          10.0 ** rng.uniform(-1, 3.5, 120),
-                         rng.uniform(2.0, 40.0, 120)):
+                         rng.uniform(2.0, 40.0, 120) * (span / 2500.0)):
         k += s / (1.0 + ((wavenumber - c0) / wd) ** 2)
     vmr = 0.01
     col_mass = np.diff(pressure_hl) / 9.80665 / 0.02897
@@ -463,14 +490,17 @@ def build_bench_spectrum(path, nwav, nlay, ncol=1, seed=0):
     return path
 
 
-def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
+def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2,
+                       is_sw=False):
     """End-to-end device execution of the real tools (BASELINE.md
     criterion 3): reorder_spectrum -> find_g_points -> create_lut on a
-    CKDMIP-shaped synthetic LW spectrum, through the actual tool entry
-    points.  Times each tool's wall clock and the fraction of
-    find_g_points spent inside candidate-sweep kernel calls (device
-    compute + dispatch) vs host control flow (equipartition's serial
-    decisions at ~50 ms relay latency per sweep).  Returns a dict."""
+    CKDMIP-shaped synthetic spectrum (LW by default; ``is_sw`` runs the
+    solar chain with an SSI file and the total-transmission method),
+    through the actual tool entry points.  Times each tool's wall clock
+    and the fraction of find_g_points spent inside candidate-sweep kernel
+    calls (device compute + dispatch) vs host control flow
+    (equipartition's serial decisions at ~50 ms relay latency per sweep).
+    Returns a dict."""
     import tempfile
     from ecckd_tpu.config import Config
     from ecckd_tpu.partition import cost_kernel
@@ -479,8 +509,14 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
     from ecckd_tpu.tools.create_lut import create_lut
 
     work = tempfile.mkdtemp(prefix="ecckd_bench_pipe_")
+    sw_tag = "_sw" if is_sw else ""
     spec = build_bench_spectrum(
-        f"/tmp/ecckd_bench_spectrum_{nwav}x{nlay}.h5", nwav, nlay)
+        f"/tmp/ecckd_bench_spectrum{sw_tag}_{nwav}x{nlay}.h5", nwav, nlay,
+        is_sw=is_sw)
+    ssi_path = None
+    if is_sw:
+        ssi_path = build_bench_ssi(
+            f"/tmp/ecckd_bench_ssi_{nwav}.h5", spec)
 
     kernel_s = [0.0, 0]
     compile_s = [0.0, 0]
@@ -504,18 +540,27 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
             kernel_s[1] += 1
         return out
 
-    out = {"nwav": nwav, "nlay": nlay}
+    out = {"nwav": nwav, "nlay": nlay, "is_sw": is_sw}
     order = os.path.join(work, "order.h5")
     gpoints = os.path.join(work, "gpoints.h5")
     lut = os.path.join(work, "lut.nc")
     t0 = time.perf_counter()
-    reorder_spectrum(Config({"input": spec, "output": order}), argv=["b"])
+    reorder_cfg = {"input": spec, "output": order}
+    if is_sw:
+        reorder_cfg["ssi"] = ssi_path
+        reorder_cfg["threshold_optical_depth"] = "0.25"
+    reorder_spectrum(Config(reorder_cfg), argv=["b"])
     out["reorder_s"] = time.perf_counter() - t0
 
+    method = "total-transmission" if is_sw else "transmission"
     fgp_cfg = {"output": gpoints, "gases": "h2o",
                "heating_rate_tolerance": str(hr_tol),
-               "averaging_method": "transmission",
+               "averaging_method": method,
                "h2o.reordering_input": order, "h2o.input": spec}
+    if is_sw:
+        fgp_cfg["ssi"] = ssi_path
+        fgp_cfg["h2o.min_scaling"] = "0.5"
+        fgp_cfg["h2o.max_scaling"] = "2.0"
     if use_pallas is not None:
         fgp_cfg["use_pallas"] = "1" if use_pallas else "0"
     cost_kernel._CandidateCostBase.costs = timed_costs
@@ -532,10 +577,13 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2):
     out["kernel_fraction"] = kernel_s[0] / out["find_g_points_s"]
 
     t0 = time.perf_counter()
-    create_lut(Config({"input": gpoints, "output": lut, "gases": "h2o",
-                       "averaging_method": "transmission",
-                       "h2o.conc_dependence": "linear",
-                       "h2o.input": spec}), argv=["b"])
+    lut_cfg = {"input": gpoints, "output": lut, "gases": "h2o",
+               "averaging_method": ("transmission" if not is_sw
+                                    else "logarithmic"),
+               "h2o.conc_dependence": "linear", "h2o.input": spec}
+    if is_sw and ssi_path:
+        lut_cfg["ssi"] = ssi_path
+    create_lut(Config(lut_cfg), argv=["b"])
     out["create_lut_s"] = time.perf_counter() - t0
     out["total_s"] = (out["reorder_s"] + out["find_g_points_s"]
                       + out["create_lut_s"])
@@ -584,7 +632,8 @@ def main():
             use_pallas = os.environ["BENCH_KERNEL"] == "pallas"
         res = run_pipeline_bench(
             nwav, NLAY, use_pallas=use_pallas,
-            hr_tol=float(os.environ.get("BENCH_HR_TOL", 0.2)))
+            hr_tol=float(os.environ.get("BENCH_HR_TOL", 0.2)),
+            is_sw=os.environ.get("BENCH_SW") == "1")
         print(json.dumps({
             "metric": "pipeline_end_to_end_seconds",
             "value": res["total_s"],

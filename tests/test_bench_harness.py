@@ -32,6 +32,24 @@ def test_pipeline_bench_detail_keys(tmp_path, monkeypatch):
     assert res["total_s"] > 0
 
 
+def test_pipeline_bench_sw(tmp_path, monkeypatch):
+    """The SW pipeline chain (ssi + total-transmission) through the same
+    harness (VERDICT r4: no SW end-to-end point existed)."""
+    real_build = bench.build_bench_spectrum
+    monkeypatch.setattr(
+        bench, "build_bench_spectrum",
+        lambda path, nwav, nlay, **kw: real_build(
+            str(tmp_path / "spec_sw.h5"), nwav, nlay, **kw))
+    real_ssi = bench.build_bench_ssi
+    monkeypatch.setattr(
+        bench, "build_bench_ssi",
+        lambda path, spec: real_ssi(str(tmp_path / "ssi.h5"), spec))
+    res = bench.run_pipeline_bench(4096, 5, use_pallas=False, hr_tol=0.8,
+                                   is_sw=True)
+    assert res["is_sw"] and res["total_s"] > 0
+    assert res["sweep_kernel_calls"] >= 1
+
+
 def test_bench_default_metric_cpu_smoke():
     """`python bench.py` (the driver's invocation) prints one JSON line
     with the headline metric on a CPU-pinned tiny run."""
