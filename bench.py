@@ -234,13 +234,19 @@ def run_native_baseline(nwav, n_iters):
             data["bg_od"], data["metric"], data["hr"],
             data["i1"], data["i2"], 0.02)
     native_baseline.sweep_lw_cost_transmission(*args)  # warm (thread pool)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = native_baseline.sweep_lw_cost_transmission(*args)
-    dt = time.perf_counter() - t0
+    # Best of 3 passes: transient host contention (relay-client threads
+    # winding down, monitoring) deflates the baseline and silently
+    # inflates vs_baseline — the fastest pass is the honest capability.
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = native_baseline.sweep_lw_cost_transmission(*args)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
     if not np.all(np.isfinite(out)):
         raise RuntimeError("native baseline produced non-finite costs")
-    return nwav * NLAY * n_iters / dt
+    return nwav * NLAY * n_iters / best
 
 
 def build_train_step(ng=64, nt=6, npress=53, ncol=48, nlay=50,
@@ -705,9 +711,15 @@ def main():
     # Host-load self-qualification (VERDICT r4 weak #4): the CPU baseline
     # below deflates (and the ratio silently inflates) when anything else
     # runs on the 2-core host.  Record the 1-min load average measured
-    # BEFORE the baseline so the committed ratio carries its own evidence.
+    # BEFORE the baseline so the committed ratio carries its own
+    # evidence.  The TPU phase's own relay-client CPU use lingers in the
+    # 1-min average, so a high first reading gets one 45 s cooldown
+    # before being taken at face value.
     try:
         load_1min = os.getloadavg()[0]
+        if load_1min > 0.5:
+            time.sleep(45)
+            load_1min = os.getloadavg()[0]
     except OSError:
         load_1min = None
 

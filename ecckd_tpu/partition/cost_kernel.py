@@ -144,27 +144,29 @@ class _CandidateCostBase:
     def chained_bench_fn(self):
         """Jitted ``fn(arrays, i1, i2, seg, n)`` running ``n`` sweep
         evaluations inside ONE dispatch (fori_loop), serialized by a
-        genuine data dependency on the carry: bg_od is perturbed
-        ADDITIVELY by acc scaled so far down that the product underflows
-        to zero at runtime (values stay bit-identical), and the interval
-        bounds get a runtime-zero offset derived from the carry, so
-        neither the sweep nor the fit gathers can be constant-folded or
-        hoisted out of the loop.  Keeps host/relay dispatch latency out of
-        benchmark measurements (bench.py)."""
-        bg = self._bg_index
+        genuine data dependency on the carry: the interval bounds get a
+        RUNTIME-ZERO offset derived from the carry (``acc * 1e-45``
+        underflows to integer 0 at runtime but is not foldable), so every
+        stage — fit reductions/gathers, the sweep kernel, the cost — is
+        data-dependent on the previous iteration and nothing can be
+        constant-folded or hoisted out of the loop.  Earlier forms also
+        perturbed a full-size operand additively; that COPIED the
+        (nlay, nwav) array every iteration (~800 MB/iter of pure harness
+        traffic at 2^21 — half of the r4 LW headline's time and more than
+        the SW sweep's own reads), so the measured number understated the
+        kernel.  Keeps host/relay dispatch latency out of benchmark
+        measurements (bench.py)."""
 
         def chained(arrays, i1, i2, seg, n):
             def body(_, acc):
-                arrs = list(arrays)
-                arrs[bg] = arrs[bg] + acc * jnp.asarray(1e-45,
-                                                        arrs[bg].dtype)
                 # Runtime-zero int offset: not foldable, value unchanged
                 iz = (acc * jnp.asarray(1e-45, acc.dtype)).astype(jnp.int32)
-                out = self._kernel(tuple(arrs), i1 + iz, i2 + iz, seg)
-                return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+                out = self._kernel(arrays, i1 + iz, i2 + iz, seg)
+                dep = jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+                return acc + dep.astype(acc.dtype)   # carry stays f32
 
             return jax.lax.fori_loop(0, n, body,
-                                     jnp.asarray(0.0, arrays[bg].dtype))
+                                     jnp.asarray(0.0, jnp.float32))
 
         return jax.jit(chained)
 

@@ -197,4 +197,5 @@ def test_chained_bench_fn_matches_costs():
         got = kern.chained_bench_fn()(
             kern._bound_arrays, jnp.asarray(i1), jnp.asarray(i2),
             jnp.asarray(seg), 1)
-        np.testing.assert_allclose(float(got), expect, rtol=1e-10)
+        # The harness carry is f32 (kernels may be f64 in tests)
+        np.testing.assert_allclose(float(got), expect, rtol=1e-6)
