@@ -41,12 +41,28 @@ from ..ops.segments import (build_prefix_sums, interval_sum_from_prefix,
 from .equipartition import Equipartition
 
 
+import os as _os
+
+# Minimum candidate bucket: every probe batch pads up to at least this
+# size, so all batches below it share ONE compiled kernel.  Each distinct
+# bucket costs a fresh compile — minutes per fused Pallas graph through
+# the TPU relay, which honors no persistent cache — while padded columns
+# cost almost nothing at run time (the per-wavenumber recurrences are
+# independent of nseg; only the ~1%-utilized MXU membership matmuls
+# scale with it).  Default 1 keeps the historical buckets (and the f64
+# CPU path's bit-stable shapes); set ECCKD_MIN_BUCKET=64 for TPU
+# pipeline runs.
+_MIN_BUCKET = int(_os.environ.get("ECCKD_MIN_BUCKET", 1))
+
+
 def _pad_to_bucket(n: int) -> int:
     """Pad the candidate count to a small set of sizes to bound the number
-    of XLA compilations (1, 2, 4, 8, ...)."""
+    of XLA compilations (1, 2, 4, 8, ... with a configurable floor)."""
     if n <= 1:
-        return 1
-    return 1 << (n - 1).bit_length()
+        n = 1
+    else:
+        n = 1 << (n - 1).bit_length()
+    return max(n, _MIN_BUCKET)
 
 
 def _pad_wav(a, pad: int, host: bool = False):

@@ -199,3 +199,20 @@ def test_chained_bench_fn_matches_costs():
             jnp.asarray(seg), 1)
         # The harness carry is f32 (kernels may be f64 in tests)
         np.testing.assert_allclose(float(got), expect, rtol=1e-6)
+
+
+def test_min_bucket_floor(monkeypatch):
+    """ECCKD_MIN_BUCKET pads every probe batch to one shared bucket (one
+    compile per kernel on the relay) without changing costs."""
+    from ecckd_tpu.partition import cost_kernel as ck
+    args, _ = lw_args("transmission", 256, seed=8)
+    kern = CandidateCostLw(*args, use_pallas=False)
+    eq = CkdEquipartition(kern)
+    i1, i2 = probe_batches(kern.npoints)[0]
+    seg = eq._seg_of_wav(i1)
+    base = kern.costs(i1, i2, seg)
+    monkeypatch.setattr(ck, "_MIN_BUCKET", 64)
+    kern2 = CandidateCostLw(*args, use_pallas=False)
+    assert ck._pad_to_bucket(len(i1)) == 64
+    np.testing.assert_allclose(kern2.costs(i1, i2, seg), base, rtol=1e-13)
+    assert len(kern2._jitted) == 1
