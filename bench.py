@@ -104,7 +104,6 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
         arrays = kernel._bound_arrays
         i1 = jnp.asarray(data["i1"])
         i2 = jnp.asarray(data["i2"])
-        seg = jnp.asarray(data["seg_of_wav"])
 
         # All iterations run inside ONE dispatch (fori_loop), serialized
         # by a genuine data dependency on the carry (see
@@ -115,10 +114,10 @@ def run_bench(device, nwav, n_iters, dtype, use_pallas=None):
         # the loop (amortized over a band's hundreds of probes in
         # find_g_points) and reported separately as build_s.
         jitted = kernel.chained_bench_fn()
-        out = jitted(arrays, i1, i2, seg, 1)   # compile + warm
+        out = jitted(arrays, i1, i2, 1)   # compile + warm
         out.block_until_ready()
         t0 = time.perf_counter()
-        out = jitted(arrays, i1, i2, seg, n_iters)
+        out = jitted(arrays, i1, i2, n_iters)
         out.block_until_ready()
         dt = time.perf_counter() - t0
     if not np.isfinite(float(out)):
@@ -151,13 +150,12 @@ def run_bench_sw(device, nwav, n_iters, dtype, use_pallas=None):
         arrays = kernel._bound_arrays
         i1 = jnp.asarray(data["i1"])
         i2 = jnp.asarray(data["i2"])
-        seg = jnp.asarray(data["seg_of_wav"])
 
         jitted = kernel.chained_bench_fn()
-        out = jitted(arrays, i1, i2, seg, 1)
+        out = jitted(arrays, i1, i2, 1)
         out.block_until_ready()
         t0 = time.perf_counter()
-        out = jitted(arrays, i1, i2, seg, n_iters)
+        out = jitted(arrays, i1, i2, n_iters)
         out.block_until_ready()
         dt = time.perf_counter() - t0
     if not np.isfinite(float(out)):
@@ -529,7 +527,7 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2,
     seen_buckets = set()
     orig_costs = cost_kernel._CandidateCostBase.costs
 
-    def timed_costs(self, i1, i2, seg):
+    def timed_costs(self, i1, i2, seg=None):
         bucket = (id(self), cost_kernel._pad_to_bucket(len(i1)))
         first = bucket not in seen_buckets
         seen_buckets.add(bucket)
@@ -541,6 +539,9 @@ def run_pipeline_bench(nwav, nlay, use_pallas=None, hr_tol=0.2,
         if first:
             compile_s[0] += dt
             compile_s[1] += 1
+            print(f"[pipeline-bench] sweep compile #{compile_s[1]} "
+                  f"({len(i1)} probes): {dt:.1f} s", file=sys.stderr,
+                  flush=True)
         else:
             kernel_s[0] += dt
             kernel_s[1] += 1

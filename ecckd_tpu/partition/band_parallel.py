@@ -90,10 +90,9 @@ class ProbeScheduler:
         counts = [len(i1) for _, (i1, _) in items]
         i1 = np.concatenate([i1 for _, (i1, _) in items])
         i2 = np.concatenate([i2 for _, (_, i2) in items])
-        seg = seg_of_global(self.kernel.npoints, i1)
         try:
             out = self.kernel.costs(i1.astype(np.int32),
-                                    i2.astype(np.int32), seg)
+                                    i2.astype(np.int32))
         except BaseException as e:   # noqa: BLE001 — fanned out to waiters
             self._err = e
             self._cv.notify_all()
@@ -126,14 +125,12 @@ class BandKernelView:
         self.scheduler = scheduler
         self.jband = jband
 
-    def costs(self, i1, i2, seg_of_wav) -> np.ndarray:
-        # seg_of_wav is recomputed globally (each wavenumber must carry
-        # the fit of its own global interval); the band-local map from
-        # CkdEquipartition is ignored.
+    def costs(self, i1, i2, seg_of_wav=None) -> np.ndarray:
+        # The partition map is derived on device from the GLOBAL bounds
+        # inside the kernel; the band-local map from CkdEquipartition is
+        # ignored.
         g1 = np.asarray(i1, np.int64) + self.offset
         g2 = np.asarray(i2, np.int64) + self.offset
         if self.scheduler is not None:
             return self.scheduler.costs(self.jband, g1, g2)
-        seg = seg_of_global(self.kernel.npoints, g1)
-        return self.kernel.costs(g1.astype(np.int32), g2.astype(np.int32),
-                                 seg)
+        return self.kernel.costs(g1.astype(np.int32), g2.astype(np.int32))

@@ -158,7 +158,7 @@ class _CandidateCostBase:
         return default_device_is_tpu() and dtype == jnp.float32
 
     def chained_bench_fn(self):
-        """Jitted ``fn(arrays, i1, i2, seg, n)`` running ``n`` sweep
+        """Jitted ``fn(arrays, i1, i2, n)`` running ``n`` sweep
         evaluations inside ONE dispatch (fori_loop), serialized by a
         genuine data dependency on the carry: the interval bounds get a
         RUNTIME-ZERO offset derived from the carry (``acc * 1e-45``
@@ -173,11 +173,11 @@ class _CandidateCostBase:
         kernel.  Keeps host/relay dispatch latency out of benchmark
         measurements (bench.py)."""
 
-        def chained(arrays, i1, i2, seg, n):
+        def chained(arrays, i1, i2, n):
             def body(_, acc):
                 # Runtime-zero int offset: not foldable, value unchanged
                 iz = (acc * jnp.asarray(1e-45, acc.dtype)).astype(jnp.int32)
-                out = self._kernel(arrays, i1 + iz, i2 + iz, seg)
+                out = self._kernel(arrays, i1 + iz, i2 + iz)
                 dep = jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
                 return acc + dep.astype(acc.dtype)   # carry stays f32
 
@@ -248,8 +248,7 @@ class _CandidateCostBase:
         axis = self.mesh_axis
         body = functools.partial(self._kernel, axis=axis)
         kwargs = dict(mesh=self.mesh,
-                      in_specs=(self._array_specs(P, axis), P(), P(),
-                                P(axis)),
+                      in_specs=(self._array_specs(P, axis), P(), P()),
                       out_specs=P())
         if self.use_pallas:
             # pallas_call inside shard_map cannot express per-output
@@ -261,25 +260,46 @@ class _CandidateCostBase:
         sm = get_shard_map()(body, **kwargs)
         return jax.jit(sm)
 
+    def _device_seg_of_wav(self, i1, nloc, axis):
+        """Per-rank partition map computed ON DEVICE from the (sorted,
+        front-padded) interval lower bounds: the last interval with
+        i1 <= rank carries each rank's fitted od (the device form of
+        CkdEquipartition._seg_of_wav).  Host versions shipped an
+        O(npoints) int32 array per probe call — ~4 MB through the remote
+        relay for EVERY equipartition probe, the dominant per-probe cost
+        of a 2^20-wavenumber pipeline run."""
+        ranks = jnp.arange(nloc, dtype=jnp.int32)
+        if axis is not None:
+            ranks = ranks + jax.lax.axis_index(axis).astype(jnp.int32) \
+                * nloc
+        return jnp.maximum(
+            0, jnp.searchsorted(i1, ranks, side="right").astype(jnp.int32)
+            - 1)
+
     def costs(self, i1: np.ndarray, i2: np.ndarray,
-              seg_of_wav: np.ndarray) -> np.ndarray:
+              seg_of_wav=None) -> np.ndarray:
+        """Candidate costs for sorted, non-overlapping intervals.
+
+        ``seg_of_wav`` is accepted for backward compatibility and
+        ignored: the partition map is derived on device from ``i1``
+        (identical by construction to CkdEquipartition._seg_of_wav).
+        Bucket padding goes at the FRONT with [0, 0] intervals so the
+        padded bounds stay sorted for the in-kernel searchsorted; padded
+        columns are benign (single-point interval 0) and sliced off.
+        """
         n = len(i1)
         nb = _pad_to_bucket(n)
         if nb not in self._jitted:
             self._jitted[nb] = self._make_jitted()
-        i1p = np.zeros(nb, np.int32); i1p[:n] = i1
-        i2p = np.zeros(nb, np.int32); i2p[:n] = i2
-        seg = np.minimum(seg_of_wav, nb - 1).astype(np.int32)
-        if self._wav_pad:
-            # Padded ranks carry interval 0's fit; membership excludes them
-            # from every interval sum (global index >= npoints > all i2).
-            seg = np.concatenate([seg, np.zeros(self._wav_pad, np.int32)])
+        pad = nb - n
+        i1p = np.zeros(nb, np.int32); i1p[pad:] = i1
+        i2p = np.zeros(nb, np.int32); i2p[pad:] = i2
         out = self._jitted[nb](self._bound_arrays, jnp.asarray(i1p),
-                               jnp.asarray(i2p), jnp.asarray(seg))
+                               jnp.asarray(i2p))
         if jax.process_count() > 1:
             # out_specs=P() -> replicated; every process reads its copy
             out = jax.device_get(out.addressable_data(0))
-        return np.asarray(out)[:n].astype(np.float64)
+        return np.asarray(out)[pad:].astype(np.float64)
 
 
 class CandidateCostLw(_CandidateCostBase):
@@ -355,12 +375,13 @@ class CandidateCostLw(_CandidateCostBase):
         return (P(), P(), P(axis), P(axis), P(axis), P(axis),
                 P(None, axis), P(None, axis), P(None, axis), P(None, axis))
 
-    def _kernel(self, arrays, i1, i2, seg_of_wav, axis=None):
+    def _kernel(self, arrays, i1, i2, axis=None):
         (layer_weight, pressure_hl, surf_emissivity, surf_planck,
          flux_dn_surf, flux_up_toa, planck_hl, bg_od, metric, hr) = \
             arrays[:10]
         nlay = hr.shape[0]
         nloc = metric.shape[-1]
+        seg_of_wav = self._device_seg_of_wav(i1, nloc, axis)
         if axis is None:
             i1_l, i2_l = i1, i2
             allred = lambda x: x
@@ -552,11 +573,12 @@ class CandidateCostSw(_CandidateCostBase):
                              * (dn_err * dn_err + up_err * up_err)))
         return cost, comps
 
-    def _kernel(self, arrs, i1, i2, seg_of_wav, axis=None):
+    def _kernel(self, arrs, i1, i2, axis=None):
         (_, _, ssi, flux_dn_surf, flux_up_toa, bg_od, metric, hr,
          _albedo, extras) = arrs[:10]
         nloc = metric.shape[-1]
         nlay = hr.shape[0]
+        seg_of_wav = self._device_seg_of_wav(i1, nloc, axis)
         if axis is None:
             i1_l, i2_l = i1, i2
             allred = lambda x: x
@@ -766,8 +788,9 @@ class CkdEquipartition(Equipartition):
         out = np.empty(len(i1s))
         for g in range(len(group_end)):
             sel = np.nonzero(group_of == g)[0]
-            seg = self._seg_of_wav(i1s[sel])
-            out[sel] = self.kernel.costs(i1s[sel], i2s[sel], seg)
+            # The partition map (which interval's fit each rank carries)
+            # is derived on device from i1 inside the kernel.
+            out[sel] = self.kernel.costs(i1s[sel], i2s[sel])
 
         inv = np.argsort(order, kind="stable")
         return out[inv]

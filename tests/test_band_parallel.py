@@ -96,7 +96,7 @@ def test_scheduler_error_propagates():
     class Boom:
         npoints = 64
 
-        def costs(self, i1, i2, seg):
+        def costs(self, i1, i2, seg=None):
             raise ValueError("boom")
 
     import threading
@@ -172,7 +172,7 @@ def _run_fgp(ws, tag, band_parallel, counter=None):
     calls = [0]
     orig = cost_kernel._CandidateCostBase.costs
 
-    def counted(self, i1, i2, seg):
+    def counted(self, i1, i2, seg=None):
         calls[0] += 1
         return orig(self, i1, i2, seg)
 

@@ -89,8 +89,8 @@ def test_partition_sweep_single_group():
     eq = CkdEquipartition(make_lw("transmission"))
     calls = []
     orig = eq.kernel.costs
-    eq.kernel.costs = lambda i1, i2, seg: (calls.append(len(i1)),
-                                           orig(i1, i2, seg))[1]
+    eq.kernel.costs = lambda i1, i2, seg=None: (calls.append(len(i1)),
+                                                orig(i1, i2, seg))[1]
     n1 = eq.npoints - 1
     interior = (np.arange(1, 8) * (n1 // 8) + 0.5) / n1
     bounds = np.concatenate([[0.0], interior, [1.0]])

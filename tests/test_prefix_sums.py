@@ -195,8 +195,7 @@ def test_chained_bench_fn_matches_costs():
         seg = eq._seg_of_wav(i1)
         expect = np.sum(kern.costs(i1, i2, seg)) * 1e-30
         got = kern.chained_bench_fn()(
-            kern._bound_arrays, jnp.asarray(i1), jnp.asarray(i2),
-            jnp.asarray(seg), 1)
+            kern._bound_arrays, jnp.asarray(i1), jnp.asarray(i2), 1)
         # The harness carry is f32 (kernels may be f64 in tests)
         np.testing.assert_allclose(float(got), expect, rtol=1e-6)
 
