@@ -29,16 +29,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
-def seg_of_global(npoints: int, i1_sorted: np.ndarray) -> np.ndarray:
-    """Map each global rank to the interval whose fitted od it carries
-    (the last interval with i1 <= rank; see
-    CkdEquipartition._seg_of_wav)."""
-    ranks = np.arange(npoints)
-    return np.maximum(
-        0, np.searchsorted(i1_sorted, ranks, side="right") - 1
-    ).astype(np.int32)
-
-
 class ProbeScheduler:
     """Dynamic barrier merging concurrent per-band probes into single
     whole-gas kernel dispatches.

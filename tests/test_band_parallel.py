@@ -16,8 +16,7 @@ from ecckd_tpu.config import Config
 from ecckd_tpu.io import NcFile
 from ecckd_tpu.partition import cost_kernel
 from ecckd_tpu.partition.band_parallel import (BandKernelView,
-                                               ProbeScheduler,
-                                               seg_of_global)
+                                               ProbeScheduler)
 from ecckd_tpu.partition.cost_kernel import (CandidateCostLw,
                                              CandidateCostSw,
                                              CkdEquipartition)
@@ -147,11 +146,17 @@ def test_sw_vector_albedo_equals_scalar_per_band():
                                    sliced.costs(i1, i2, seg), rtol=1e-10)
 
 
-def test_seg_of_global():
-    i1 = np.array([0, 10, 20], np.int64)
-    seg = seg_of_global(30, i1)
-    assert seg[0] == 0 and seg[9] == 0 and seg[10] == 1
-    assert seg[19] == 1 and seg[20] == 2 and seg[29] == 2
+def test_device_seg_matches_host_reference():
+    """The in-kernel device partition map equals the host formula it
+    replaced (CkdEquipartition._seg_of_wav) on front-padded bounds."""
+    import jax.numpy as jnp
+    from ecckd_tpu.partition.cost_kernel import _CandidateCostBase
+    base = _CandidateCostBase()
+    i1 = np.array([0, 0, 3, 10, 20], np.int32)   # two front-pad zeros
+    got = np.asarray(base._device_seg_of_wav(jnp.asarray(i1), 30, None))
+    ranks = np.arange(30)
+    want = np.maximum(0, np.searchsorted(i1, ranks, side="right") - 1)
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.fixture(scope="module")
