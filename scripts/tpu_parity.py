@@ -120,10 +120,13 @@ def averaging_outputs(device, dtype):
 def main():
     import jax
 
-    # Without x64 the "f64 CPU truth" would silently run in f32 (all
-    # f64-vs-f32 rows would read as pallas-vs-xla differences only) —
-    # enable it BEFORE any computation.  The f32 device runs cast every
-    # operand explicitly, so they are unaffected.
+    # x64 is enabled ONLY for the CPU-truth phase: without it the "f64
+    # CPU truth" silently runs in f32 (every f64 comparison then measures
+    # pallas-vs-xla only — the r4 flaw), but WITH it the f32 TPU Pallas
+    # kernels trace with i64 scalars that Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return'").  All truths are
+    # computed first (returned as host numpy), then x64 is dropped for
+    # the device runs.
     jax.config.update("jax_enable_x64", True)
 
     accel = jax.devices()[0]
@@ -132,20 +135,22 @@ def main():
            "nwav": NWAV, "nlay": NLAY, "nseg": NSEG,
            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
 
+    truths = {tag: fn(cpu, np.float64, use_pallas=False)
+              for tag, fn in (("lw", lw_costs), ("sw", sw_costs))}
+    avg64 = averaging_outputs(cpu, np.float64)
+    v64, g64, f64_final = train_step_outputs(cpu, np.float64)
+
+    jax.config.update("jax_enable_x64", False)
     for tag, fn in (("lw", lw_costs), ("sw", sw_costs)):
-        truth = fn(cpu, np.float64, use_pallas=False)   # f64 CPU truth
+        truth = truths[tag]
         xla = fn(accel, np.float32, use_pallas=False)
         pallas = fn(accel, np.float32, use_pallas=True)
         out[f"{tag}_pallas_vs_xla_max_rel"] = max_rel(pallas, xla)
         out[f"{tag}_pallas_vs_f64_max_rel"] = max_rel(pallas, truth)
         out[f"{tag}_xla_vs_f64_max_rel"] = max_rel(xla, truth)
-
-    # The production sweep form (prefix fit/truth gathers + Pallas RT):
-    # use_prefix defaults on for f32 TPU, so the loop above already
-    # measured it; record the non-prefix Pallas form separately so the
-    # prefix path's contribution is visible.
-    for tag, fn in (("lw", lw_costs), ("sw", sw_costs)):
-        truth = fn(cpu, np.float64, use_pallas=False)
+        # The loop above measures the production form (prefix fit/truth
+        # gathers default on for f32 TPU); record the non-prefix Pallas
+        # form separately so the prefix path's contribution is visible.
         os.environ["ECCKD_SWEEP_PREFIX"] = "0"
         try:
             noprefix = fn(accel, np.float32, use_pallas=True)
@@ -155,16 +160,13 @@ def main():
                                                               truth)
 
     # Optimize train step: f32 TPU vs f64 CPU (VERDICT r4 missing #3)
-    v64, g64, f64_final = train_step_outputs(cpu, np.float64)
     v32, g32, f32_final = train_step_outputs(accel, np.float32)
     out["optimize_value_rel"] = abs(v32 - v64) / abs(v64)
     out["optimize_gradnorm_rel"] = abs(g32 - g64) / abs(g64)
     out["optimize_final_cost_rel"] = abs(f32_final - f64_final) \
         / abs(f64_final)
-    jax.config.update("jax_enable_x64", True)   # train f32 run disabled it
 
     # All 8 averaging methods: f32 TPU vs f64 CPU truth
-    avg64 = averaging_outputs(cpu, np.float64)
     avg32 = averaging_outputs(accel, np.float32)
     # Exact zeros (all-zero-od g-points) are zero in BOTH dtypes, so the
     # plain max_rel denominator guard never triggers falsely here.
