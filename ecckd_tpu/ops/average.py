@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (LW_DIFFUSIVITY, ACCEL_GRAVITY, MOLAR_MASS_DRY_AIR)
-from .segments import interval_sum, interval_sum_fused, part_of
+from .segments import (_member_dot, interval_sum, interval_sum_fused,
+                       part_of)
 
 _TRANS_CLAMP = 0.9999999999999999
 
@@ -303,8 +304,12 @@ def average_od_to_gpoints(ng, g_point, optical_depth, weight,
         def body(carry, xs):
             v_c, gp_c = xs
             onehot = (gp_c[:, None] == g_range[None, :]).astype(od.dtype)
-            return carry + jnp.matmul(v_c, onehot,
-                                      preferred_element_type=od.dtype), None
+            # _member_dot: exact-0/1 membership matmul in two bf16 MXU
+            # passes for f32-on-TPU (~2^-16 vs ~2^-8 for the plain dot,
+            # which truncates the DATA operand to bf16 — measured 4-7e-4
+            # on the averaging fits, PARITY_TPU r5); plain matmul (exact)
+            # on CPU/f64.
+            return carry + _member_dot(v_c, onehot), None
 
         init = jnp.zeros((nz, ng), od.dtype)
         out, _ = jax.lax.scan(body, init,
@@ -417,7 +422,8 @@ def gpoint_block_partials(ng, g_point, od, weight, averaging_method):
     onehot = (gp[:, None] == jnp.arange(ng)[None, :]).astype(od.dtype)
 
     def seg(v):
-        return jnp.matmul(v, onehot, preferred_element_type=od.dtype)
+        # See seg_sum above: split-dot against the exact-0/1 membership
+        return _member_dot(v, onehot)
 
     out = {"w_sum": seg(w), "count": seg(jnp.ones_like(od))}
     method = averaging_method
