@@ -46,17 +46,34 @@ def _member_dot(v, member):
     On TPU, f32 matmuls at Precision.DEFAULT truncate BOTH operands to
     bfloat16 (one MXU pass, ~2^-8 relative error on the data).  Because the
     membership matrix is exactly representable in bf16, splitting the data
-    into hi = bf16(v) and lo = bf16(v - hi) makes every product exact: two
-    MXU passes, ~2^-17 truncation error (same trick as
-    ops/pallas/sweep_lw._split_dot).  Other dtypes/backends use a plain
-    matmul (f32/f64 on CPU are exact to their own precision)."""
+    into hi = bf16(v) and lo = bf16(v - hi) makes every product exact:
+    two MXU passes, ~2^-17 truncation error (same trick as
+    ops/pallas/sweep_lw._split_dot).  The two passes ride ONE dot over the
+    stacked [hi; lo] rows with the halves added afterwards: expressed as
+    ``hi@m + lo@m``, XLA's algebraic simplifier is free to merge the dots
+    by distributivity into ``(hi+lo)@m`` whose bf16 operand ADD rounds
+    ``lo`` away entirely — observed on real TPU inside ``lax.scan``
+    bodies, where the "split" silently degraded to a plain bf16 dot
+    (~1e-4 on g-point averages, PARITY_TPU r5).  Other dtypes/backends
+    use a plain matmul (f32/f64 on CPU are exact to their own
+    precision)."""
     if v.dtype == jnp.float32 and default_device_is_tpu():
         bf = jnp.bfloat16
-        v_hi = v.astype(bf)
-        v_lo = (v - v_hi.astype(v.dtype)).astype(bf)
+        # reduce_precision, NOT an astype round-trip: XLA's
+        # excess-precision optimization elides f32->bf16->f32 convert
+        # chains, which silently turns (v - f32(bf16(v))) into zero and
+        # the whole "split" into a plain bf16 dot — observed on real TPU
+        # (identical digits to the unsplit form, ~1e-4 on g-point
+        # averages).  reduce_precision is the documented escape hatch the
+        # simplifier must honor.
+        v_hi_f32 = jax.lax.reduce_precision(v, 8, 7)     # bf16 rounding
+        v_hi = v_hi_f32.astype(bf)                       # exact convert
+        v_lo = (v - v_hi_f32).astype(bf)
         m_bf = member.astype(bf)
-        return (jnp.matmul(v_hi, m_bf, preferred_element_type=v.dtype)
-                + jnp.matmul(v_lo, m_bf, preferred_element_type=v.dtype))
+        rows = v.shape[0]
+        both = jnp.matmul(jnp.concatenate([v_hi, v_lo], axis=0), m_bf,
+                          preferred_element_type=v.dtype)
+        return both[:rows] + both[rows:]
     return jnp.matmul(v, member.astype(v.dtype),
                       preferred_element_type=v.dtype)
 
